@@ -1,0 +1,67 @@
+"""Render configuration.
+
+The reference's "config system" is three scattered channels (compile-time
+constants, detail attributes, SOP parms — SURVEY.md §5).  Here it is one
+explicit dataclass threaded through the jitted pipeline as a static argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render settings (hashable: used as a jit static arg)."""
+
+    # SH evaluation order 0..3 (the reference's gsplat__sh_order detail attr,
+    # clamped with an error in src/GR_GSplat.C:444-457).
+    sh_order: int = 3
+
+    # Tile size for the tiled/Pallas rasterizer.  8×128 px matches the TPU
+    # VPU register shape (8 sublanes × 128 lanes) exactly.
+    tile_h: int = 8
+    tile_w: int = 128
+
+    # Per-splat cap on tiles covered when building (tile, splat) pairs; splats
+    # covering more tiles than fit the pair budget are truncated (analogue of
+    # the reference's 2^23 global budget cull, src/GSplatRenderer.C:366-376).
+    pairs_per_splat: float = 8.0
+
+    # Per-tile cap on composited splats (front-to-back; overflow beyond the
+    # cap drops the *farthest* splats, which the early-stop would likely have
+    # skipped anyway).  Must be a multiple of the compositing chunk size.
+    tile_capacity: int = 4096
+
+    # Upper clamp on per-fragment alpha.  The reference clamps to 1.0
+    # (GSplatShaderSource.h:308); values < 1 keep the backward pass's
+    # 1/(1−α) transmittance rewind finite (3DGS uses 0.99).
+    max_alpha: float = 0.99
+
+    # Stop compositing a pixel once transmittance falls below this (perf
+    # optimisation absent in the reference's fixed-function blend; set to 0.0
+    # for exact-parity tests).
+    transmittance_eps: float = 1e-4
+
+    # Global splat budget (reference: GSPLAT_COUNT_MAX = 2^23,
+    # include/GSplatRenderer.h:26).
+    max_splats: int = 1 << 23
+
+    # The reference semantics are discontinuous: fragments are discarded below
+    # α = 1/255 (GSplatShaderSource.h:309) and truncated at the ±2 quad extent
+    # (:185-187).  With soft_cutoff=True both hard masks are dropped, making
+    # the render fully differentiable (no jump discontinuities) — used for
+    # gradient verification and available for training.  Default False =
+    # exact reference parity.
+    soft_cutoff: bool = False
+
+    # Hard cap on splats whose (tile,splat) pairs we materialise. Derived
+    # pair budget = round(pairs_per_splat * N) at trace time.
+    def pair_budget(self, n: int) -> int:
+        return max(int(round(self.pairs_per_splat * n)), 8)
+
+    def __post_init__(self):
+        if not 0 <= self.sh_order <= 3:
+            raise ValueError(f"sh_order must be in [0,3], got {self.sh_order}")
+        if self.tile_capacity % 8 != 0:
+            raise ValueError("tile_capacity must be a multiple of 8")
