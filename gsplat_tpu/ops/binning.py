@@ -1,0 +1,190 @@
+"""Tile binning: (tile, splat) pair expansion with static shapes.
+
+The reference draws every splat as a screen-space instanced quad and lets the
+GL rasterizer find covered pixels (``gsplat_plugin/src/GSplatRenderer.C:647``).
+A TPU has no rasterizer unit, so coverage is computed explicitly: the screen
+is cut into tiles (default 8×128 px = the VPU register shape) and each splat
+is expanded into one (tile, splat) pair per overlapped tile — the standard
+tile-binning of 3DGS, built here entirely from static-shape XLA primitives:
+
+  1. per-splat tile-bbox from the quad footprint (corners ±2·(v1±v2));
+  2. pair offsets by exclusive cumsum; pair→splat lookup by ``searchsorted``
+     over a fixed pair budget (ragged→static);
+  3. one stable sort by tile id — splats are already in global depth order,
+     so stability alone yields per-tile front-to-back order identical to the
+     reference's single global sort (``src/GSplatRenderer.C:176-216``);
+  4. per-tile segment starts/counts by ``searchsorted``.
+
+Overflow policy mirrors the reference's budget cull (2^23 splats, excess
+culled with a warning — ``src/GSplatRenderer.C:366-376``): pairs beyond the
+budget and per-tile entries beyond ``tile_capacity`` drop the *farthest*
+splats; the dropped count is reported so callers can warn.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.config import RenderConfig
+from .covariance import ALPHA_CUTOFF, QUAD_EXTENT
+from .projection import ProjectedSplats
+
+# Payload layout (structure-of-arrays, [C_PAYLOAD, N]): per-splat quantities
+# the compositor needs.  A = v1/|v1|², B = v2/|v2|² so that the quad-basis
+# coordinates of a pixel at offset d from the center are (d·A, d·B).
+PAYLOAD_CX = 0
+PAYLOAD_CY = 1
+PAYLOAD_AX = 2
+PAYLOAD_AY = 3
+PAYLOAD_BX = 4
+PAYLOAD_BY = 5
+PAYLOAD_R = 6
+PAYLOAD_G = 7
+PAYLOAD_B = 8
+PAYLOAD_OP = 9
+C_PAYLOAD = 10
+
+
+def splat_payload(p: ProjectedSplats) -> jnp.ndarray:
+    """Pack sanitized projected splats into the [C_PAYLOAD, N] SoA layout."""
+    l1sq = jnp.sum(p.v1 * p.v1, axis=-1)
+    l2sq = jnp.sum(p.v2 * p.v2, axis=-1)
+    a = p.v1 / l1sq[:, None]
+    b = p.v2 / l2sq[:, None]
+    return jnp.stack(
+        [
+            p.mean2d[:, 0],
+            p.mean2d[:, 1],
+            a[:, 0],
+            a[:, 1],
+            b[:, 0],
+            b[:, 1],
+            p.rgb[:, 0],
+            p.rgb[:, 1],
+            p.rgb[:, 2],
+            p.opacity,
+        ],
+        axis=0,
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BinnedPairs:
+    """Static-shape binning result.
+
+    ``pair_splat[k]``: depth-rank index (into the sorted splat arrays) of the
+    k-th pair; pairs are grouped by tile (contiguous segments) and
+    front-to-back within each tile.  Invalid pairs hold ``num_splats`` (a
+    padded benign row).  ``tile_start/tile_count`` delimit each tile's
+    segment in the pair array (count already capped at ``tile_capacity``).
+    """
+
+    pair_splat: jax.Array    # (P,) int32
+    pair_tile: jax.Array     # (P,) int32 (num_tiles = invalid sentinel)
+    tile_start: jax.Array    # (T,) int32
+    tile_count: jax.Array    # (T,) int32
+    dropped_pairs: jax.Array  # () int32 — budget + capacity overflow
+
+    @property
+    def pair_budget(self) -> int:
+        return self.pair_splat.shape[0]
+
+
+def tile_grid(width: int, height: int, tile_h: int, tile_w: int) -> Tuple[int, int]:
+    """Number of tiles (rows, cols) covering the screen."""
+    return -(-height // tile_h), -(-width // tile_w)
+
+
+def bin_splats(
+    sorted_projected: ProjectedSplats,
+    width: int,
+    height: int,
+    config: RenderConfig,
+) -> BinnedPairs:
+    """Bin depth-sorted, sanitized projected splats into tiles.
+
+    ``sorted_projected`` MUST already be in ascending camera-distance order
+    (the compositing order contract) and sanitized (no NaNs in invalid rows).
+    """
+    n = sorted_projected.count
+    nty, ntx = tile_grid(width, height, config.tile_h, config.tile_w)
+    num_tiles = nty * ntx
+    budget = config.pair_budget(n)
+
+    mean = sorted_projected.mean2d
+    v1 = sorted_projected.v1
+    v2 = sorted_projected.v2
+
+    # Quad footprint bbox: corners are center ± 2·(±v1 ± v2)
+    # (GSplatShaderSource.h:185-187: quadPos ∈ [−2,2]²).
+    half_x = QUAD_EXTENT * (jnp.abs(v1[:, 0]) + jnp.abs(v2[:, 0]))
+    half_y = QUAD_EXTENT * (jnp.abs(v1[:, 1]) + jnp.abs(v2[:, 1]))
+    x_lo = mean[:, 0] - half_x
+    x_hi = mean[:, 0] + half_x
+    y_lo = mean[:, 1] - half_y
+    y_hi = mean[:, 1] + half_y
+
+    # Cull: behind camera, fully offscreen, or opacity below the discard
+    # threshold (the fragment shader would discard every covered pixel).
+    cull = (
+        ~sorted_projected.valid
+        | (x_hi < 0.0)
+        | (y_hi < 0.0)
+        | (x_lo >= width)
+        | (y_lo >= height)
+        | (sorted_projected.opacity < ALPHA_CUTOFF)
+    )
+
+    tw = float(config.tile_w)
+    th = float(config.tile_h)
+    tx0 = jnp.clip(jnp.floor(x_lo / tw).astype(jnp.int32), 0, ntx - 1)
+    tx1 = jnp.clip(jnp.floor(x_hi / tw).astype(jnp.int32), 0, ntx - 1)
+    ty0 = jnp.clip(jnp.floor(y_lo / th).astype(jnp.int32), 0, nty - 1)
+    ty1 = jnp.clip(jnp.floor(y_hi / th).astype(jnp.int32), 0, nty - 1)
+    nx = jnp.where(cull, 0, tx1 - tx0 + 1)
+    ny = jnp.where(cull, 0, ty1 - ty0 + 1)
+    counts = nx * ny
+
+    # Ragged → static: pair k belongs to the splat whose inclusive-cumsum
+    # first exceeds k.  Splats are depth-sorted, so truncation at the budget
+    # drops only the farthest splats' pairs.
+    cum = jnp.cumsum(counts)
+    total = cum[-1] if n > 0 else jnp.int32(0)
+    offsets = cum - counts
+    pair_idx = jnp.arange(budget, dtype=jnp.int32)
+    s = jnp.searchsorted(cum, pair_idx, side="right").astype(jnp.int32)
+    s_safe = jnp.minimum(s, n - 1)
+    r = pair_idx - offsets[s_safe]
+    nx_s = jnp.maximum(nx[s_safe], 1)
+    dty = r // nx_s
+    dtx = r - dty * nx_s
+    tile = (ty0[s_safe] + dty) * ntx + (tx0[s_safe] + dtx)
+    pair_valid = pair_idx < jnp.minimum(total, budget)
+    tile = jnp.where(pair_valid, tile, num_tiles)
+    splat_of_pair = jnp.where(pair_valid, s_safe, n)
+
+    # One stable sort by tile groups pairs per tile while preserving the
+    # global front-to-back order within each tile.
+    tile_sorted, splat_sorted = jax.lax.sort(
+        (tile, splat_of_pair), num_keys=1, is_stable=True
+    )
+
+    # Segment boundaries per tile.
+    tile_ids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    starts = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
+    raw_count = starts[1:] - starts[:-1]
+    tile_count = jnp.minimum(raw_count, config.tile_capacity)
+
+    dropped = jnp.maximum(total - budget, 0) + jnp.sum(raw_count - tile_count)
+    return BinnedPairs(
+        pair_splat=splat_sorted,
+        pair_tile=tile_sorted,
+        tile_start=starts[:-1],
+        tile_count=tile_count,
+        dropped_pairs=dropped.astype(jnp.int32),
+    )

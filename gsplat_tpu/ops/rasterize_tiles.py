@@ -1,0 +1,139 @@
+"""Tiled rasterizer (pure-XLA backend).
+
+The algorithmic twin of the Pallas TPU kernel (``ops/pallas/composite.py``)
+expressed in plain ``jnp``: project → global depth sort → tile binning →
+per-tile front-to-back compositing, differentiable end-to-end via XLA
+autodiff.  Runs on any backend (CPU tests, TPU fallback) and serves as the
+mid-level oracle between the O(N·H·W) reference rasterizer and the fused
+Pallas kernels.
+
+Pipeline parity contract: identical math to ``rasterize_ref.composite_reference``
+(same per-pixel alpha, same global compositing order) — images must match to
+fp32 tolerance whenever no pairs were dropped by the binning budget.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.camera import Camera
+from ..models.splats import GaussianSplats
+from ..utils.config import RenderConfig
+from .binning import (
+    C_PAYLOAD,
+    BinnedPairs,
+    bin_splats,
+    splat_payload,
+    tile_grid,
+)
+from .covariance import ALPHA_CUTOFF, QUAD_EXTENT
+from .projection import ProjectedSplats, project_splats
+from .rasterize_ref import sanitize_projected
+
+
+def sort_by_depth(p: ProjectedSplats) -> ProjectedSplats:
+    """Global ascending-distance sort (``src/GSplatRenderer.C:176-216``);
+    invalid splats (depth=inf after sanitize) go last."""
+    order = jnp.argsort(p.depth_sq)
+    return jax.tree.map(lambda a: a[order], p)
+
+
+def build_tile_lists(binned: BinnedPairs, num_tiles: int, capacity: int, n: int) -> jnp.ndarray:
+    """Dense per-tile splat lists [T, K] (entries = depth-rank index, ``n`` =
+    padded benign row).  Entries beyond a tile's capacity are dropped
+    (farthest splats, consistent with the binning overflow policy)."""
+    pos_in_tile = (
+        jnp.arange(binned.pair_budget, dtype=jnp.int32)
+        - binned.tile_start[jnp.minimum(binned.pair_tile, num_tiles - 1)]
+    )
+    lists = jnp.full((num_tiles, capacity), n, dtype=jnp.int32)
+    # Out-of-range scatter indices (sentinel tile, pos >= capacity) dropped.
+    return lists.at[binned.pair_tile, pos_in_tile].set(
+        binned.pair_splat, mode="drop"
+    )
+
+
+def composite_tile_lists(
+    tile_lists: jnp.ndarray,
+    payload: jnp.ndarray,
+    width: int,
+    height: int,
+    config: RenderConfig,
+) -> jnp.ndarray:
+    """Front-to-back composite of dense tile lists.
+
+    Args:
+      tile_lists: (T, K) int32 depth-rank indices, ``n`` sentinel for empty.
+      payload: (C_PAYLOAD, N) SoA from :func:`splat_payload` (NOT padded —
+        a benign zero row is appended here).
+      width/height: screen size in pixels.
+
+    Returns:
+      (H, W, 4) premultiplied RGBA.
+    """
+    nty, ntx = tile_grid(width, height, config.tile_h, config.tile_w)
+    num_tiles, capacity = tile_lists.shape
+    assert num_tiles == nty * ntx
+    th, tw = config.tile_h, config.tile_w
+
+    # Benign padded row: opacity 0 → alpha 0 → no contribution.
+    pad = jnp.zeros((C_PAYLOAD, 1), dtype=payload.dtype)
+    payload_p = jnp.concatenate([payload, pad], axis=1)
+
+    # Per-tile pixel-center coordinates.
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    origin_x = (tile_ids % ntx * tw).astype(jnp.float32)
+    origin_y = (tile_ids // ntx * th).astype(jnp.float32)
+    iota_y = (jnp.arange(th, dtype=jnp.float32) + 0.5)[None, :, None]
+    iota_x = (jnp.arange(tw, dtype=jnp.float32) + 0.5)[None, None, :]
+    px = origin_x[:, None, None] + iota_x  # (T, 1, TW)
+    py = origin_y[:, None, None] + iota_y  # (T, TH, 1)
+
+    def step(carry, ids):
+        color, transmittance = carry
+        f = payload_p[:, ids]  # (C, T)
+        dx = px - f[0][:, None, None]
+        dy = py - f[1][:, None, None]
+        qx = dx * f[2][:, None, None] + dy * f[3][:, None, None]
+        qy = dx * f[4][:, None, None] + dy * f[5][:, None, None]
+        power = qx * qx + qy * qy
+        alpha = jnp.clip(jnp.exp(-power) * f[9][:, None, None], 0.0, config.max_alpha)
+        if not config.soft_cutoff:
+            inside = (jnp.abs(qx) <= QUAD_EXTENT) & (jnp.abs(qy) <= QUAD_EXTENT)
+            alpha = jnp.where(inside & (alpha >= ALPHA_CUTOFF), alpha, 0.0)
+        weight = alpha * transmittance  # (T, TH, TW)
+        color = color + weight[:, None] * f[6:9, :].T[:, :, None, None]
+        transmittance = transmittance * (1.0 - alpha)
+        return (color, transmittance), None
+
+    init = (
+        jnp.zeros((num_tiles, 3, th, tw), dtype=jnp.float32),
+        jnp.ones((num_tiles, th, tw), dtype=jnp.float32),
+    )
+    (color, transmittance), _ = jax.lax.scan(step, init, tile_lists.T)
+
+    tiles = jnp.concatenate([color, (1.0 - transmittance)[:, None]], axis=1)  # (T,4,TH,TW)
+    image = (
+        tiles.reshape(nty, ntx, 4, th, tw)
+        .transpose(2, 0, 3, 1, 4)
+        .reshape(4, nty * th, ntx * tw)
+    )
+    return image[:, :height, :width].transpose(1, 2, 0)
+
+
+def render_tiles(
+    splats: GaussianSplats,
+    camera: Camera,
+    config: RenderConfig = RenderConfig(),
+) -> jnp.ndarray:
+    """End-to-end tiled render.  Returns (H, W, 4) premultiplied RGBA."""
+    projected = project_splats(splats, camera, config.sh_order)
+    p = sort_by_depth(sanitize_projected(projected))
+    binned = bin_splats(p, camera.width, camera.height, config)
+    nty, ntx = tile_grid(camera.width, camera.height, config.tile_h, config.tile_w)
+    lists = build_tile_lists(binned, nty * ntx, config.tile_capacity, p.count)
+    payload = splat_payload(p)
+    return composite_tile_lists(lists, payload, camera.width, camera.height, config)
