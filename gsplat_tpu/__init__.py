@@ -16,8 +16,13 @@ from .models.splats import GaussianSplats, make_splats, random_splats
 from .utils.config import RenderConfig
 from .ops.projection import ProjectedSplats, project_splats
 from .ops.rasterize_ref import render_reference
+from .ops.rasterize_tiles import render_tiles
+from .render import render, render_pallas
 
 __all__ = [
+    "render",
+    "render_pallas",
+    "render_tiles",
     "__version__",
     "Camera",
     "make_camera",

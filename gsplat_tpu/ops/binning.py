@@ -79,15 +79,21 @@ class BinnedPairs:
 
     ``pair_splat[k]``: depth-rank index (into the sorted splat arrays) of the
     k-th pair; pairs are grouped by tile (contiguous segments) and
-    front-to-back within each tile.  Invalid pairs hold ``num_splats`` (a
-    padded benign row).  ``tile_start/tile_count`` delimit each tile's
-    segment in the pair array (count already capped at ``tile_capacity``).
+    front-to-back within each tile.  Invalid/padding pairs hold ``num_splats``
+    (a benign zero payload row).  ``tile_start/tile_count`` delimit each
+    tile's segment (count already capped at ``tile_capacity``).
+
+    Segments are **chunk-aligned**: every ``tile_start`` is a multiple of
+    ``config.chunk`` and segments are sentinel-padded up to the next multiple,
+    so the Pallas kernels can DMA fixed-size chunks that never touch a
+    neighbouring tile's rows (critical for the backward kernel, which *writes*
+    per-pair gradients chunk-wise).
     """
 
-    pair_splat: jax.Array    # (P,) int32
-    pair_tile: jax.Array     # (P,) int32 (num_tiles = invalid sentinel)
-    tile_start: jax.Array    # (T,) int32
-    tile_count: jax.Array    # (T,) int32
+    pair_splat: jax.Array    # (P_pad,) int32
+    pair_tile: jax.Array     # (P_pad,) int32 (num_tiles = invalid sentinel)
+    tile_start: jax.Array    # (T,) int32 — chunk-aligned
+    tile_count: jax.Array    # (T,) int32 — real (un-padded) per-tile count
     dropped_pairs: jax.Array  # () int32 — budget + capacity overflow
 
     @property
@@ -174,17 +180,39 @@ def bin_splats(
         (tile, splat_of_pair), num_keys=1, is_stable=True
     )
 
-    # Segment boundaries per tile.
+    # Segment boundaries per tile (in the sorted, unaligned pair order).
     tile_ids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
     starts = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
     raw_count = starts[1:] - starts[:-1]
     tile_count = jnp.minimum(raw_count, config.tile_capacity)
 
+    # Re-layout into chunk-aligned segments: tile t's pairs live at
+    # [aligned_start[t], aligned_start[t] + count[t]), padded with the
+    # sentinel up to a multiple of `chunk`.
+    chunk = config.chunk
+    padded_count = -(-tile_count // chunk) * chunk
+    aligned_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_count).astype(jnp.int32)]
+    )
+    # Rounded up to a chunk multiple so the transposed (C_PAD, P_pad) payload
+    # has a 128-aligned minor dimension (Pallas HBM slice constraint).
+    p_pad = -(-(budget + num_tiles * (chunk - 1) + chunk) // chunk) * chunk
+    tile_safe = jnp.minimum(tile_sorted, num_tiles - 1)
+    pos_in_tile = jnp.arange(budget, dtype=jnp.int32) - starts[:-1][tile_safe]
+    keep = (tile_sorted < num_tiles) & (pos_in_tile < tile_count[tile_safe])
+    dest = jnp.where(keep, aligned_start[tile_safe] + pos_in_tile, p_pad)
+    pair_splat = jnp.full((p_pad,), n, dtype=jnp.int32).at[dest].set(
+        splat_sorted, mode="drop"
+    )
+    pair_tile = jnp.full((p_pad,), num_tiles, dtype=jnp.int32).at[dest].set(
+        tile_sorted, mode="drop"
+    )
+
     dropped = jnp.maximum(total - budget, 0) + jnp.sum(raw_count - tile_count)
     return BinnedPairs(
-        pair_splat=splat_sorted,
-        pair_tile=tile_sorted,
-        tile_start=starts[:-1],
+        pair_splat=pair_splat,
+        pair_tile=pair_tile,
+        tile_start=aligned_start[:-1],
         tile_count=tile_count,
         dropped_pairs=dropped.astype(jnp.int32),
     )

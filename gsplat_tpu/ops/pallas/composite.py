@@ -1,0 +1,458 @@
+"""Fused Pallas TPU compositing kernels (forward + backward).
+
+The TPU replacement for the reference's GL fragment stage + fixed-function
+blend (``gsplat_plugin/shaders/GSplatShaderSource.h:293-315``,
+``src/GSplatRenderer.C:605-647``): one program per 32×32-pixel tile walks its
+depth-ordered (tile, splat) pair segment front-to-back and accumulates
+premultiplied color with the "under" operator, with early termination once
+every pixel in the tile is saturated.
+
+Design notes (TPU-first, no GL analogue):
+
+* A 32×32 pixel tile is packed into one native (8, 128) VPU register:
+  ``row = sublane + 8·(lane // 32)``, ``col = lane % 32``.  Square-ish tiles
+  waste far less masked work on typical splat footprints than an (8, 128)
+  pixel rectangle.
+* Pair payloads are stored transposed (C_PAD=16 fields × P pairs) and DMA'd
+  HBM→**SMEM** in double-buffered chunks of 128 pairs (8 KB).  Per-splat
+  fields are then *scalar* reads — the VPU broadcasts scalars natively, so
+  the per-splat hot loop is pure (8, 128) vector math with zero vector
+  relayouts (Mosaic has no cheap lane→sublane broadcast, so a vectorized
+  splat-block formulation actually loses).
+* Segments are chunk-aligned (``ops/binning.py``) so slice offsets stay
+  lane-aligned and no tile ever touches another tile's rows — which lets the
+  backward kernel *write* per-pair gradients chunk-wise with no races.
+* The backward kernel replays each tile back-to-front, reconstructing
+  per-splat transmittance by dividing out ``(1−α)`` (finite because α is
+  clamped to ``max_alpha < 1``).  Early-terminated pairs get exact zero
+  gradients via the per-tile stop counter recorded by the forward pass.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...utils.config import RenderConfig
+from ..covariance import ALPHA_CUTOFF, QUAD_EXTENT
+
+TILE = 32          # logical pixel tile is TILE×TILE
+PACK_SUB = 8       # sublanes
+PACK_LANES = 128   # lanes; TILE*TILE == PACK_SUB*PACK_LANES
+C_PAD = 16         # padded payload field count (10 used — see ops/binning.py)
+
+
+def _pixel_coords(ty, tx):
+    """Pixel-center coordinates of this tile's 32×32 block, packed (8, 128)."""
+    li = jax.lax.broadcasted_iota(jnp.int32, (PACK_SUB, PACK_LANES), 1)
+    si = jax.lax.broadcasted_iota(jnp.int32, (PACK_SUB, PACK_LANES), 0)
+    col = li % TILE
+    row = si + PACK_SUB * (li // TILE)
+    px = (tx * TILE + col).astype(jnp.float32) + 0.5
+    py = (ty * TILE + row).astype(jnp.float32) + 0.5
+    return px, py
+
+
+def _splat_alpha(buf, slot, i, px, py, max_alpha, soft_cutoff):
+    """One splat's (8, 128) alpha from scalar SMEM fields.
+
+    Returns (alpha, qx, qy, dx, dy, opacity_scalar) — the extras feed the
+    backward pass.
+    """
+    cx = buf[slot, 0, i]
+    cy = buf[slot, 1, i]
+    ax = buf[slot, 2, i]
+    ay = buf[slot, 3, i]
+    bx = buf[slot, 4, i]
+    by = buf[slot, 5, i]
+    op = buf[slot, 9, i]
+    dx = px - cx
+    dy = py - cy
+    qx = dx * ax + dy * ay
+    qy = dx * bx + dy * by
+    power = qx * qx + qy * qy
+    alpha = jnp.minimum(jnp.exp(-power) * op, max_alpha)
+    if not soft_cutoff:
+        inside = (jnp.abs(qx) <= QUAD_EXTENT) & (jnp.abs(qy) <= QUAD_EXTENT)
+        alpha = jnp.where(inside & (alpha >= ALPHA_CUTOFF), alpha, 0.0)
+    return alpha, qx, qy, dx, dy, op
+
+
+def _fwd_kernel(
+    start_ref,
+    count_ref,
+    payload_ref,   # (C_PAD, P_pad) HBM
+    out_ref,       # (1, 1, 4, 8, 128) VMEM block
+    stop_ref,      # (T,) SMEM, full array
+    buf,           # (2, C_PAD, chunk) SMEM scratch
+    sem,
+    *,
+    ntx: int,
+    chunk: int,
+    max_alpha: float,
+    soft_cutoff: bool,
+    t_eps: float,
+):
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    t = ty * ntx + tx
+    start = start_ref[t]
+    count = count_ref[t]
+    nchunks = pl.cdiv(count, chunk)
+    px, py = _pixel_coords(ty, tx)
+
+    def dma(slot, ci):
+        return pltpu.make_async_copy(
+            payload_ref.at[:, pl.ds(pl.multiple_of(start + ci * chunk, chunk), chunk)],
+            buf.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    zeros = jnp.zeros((PACK_SUB, PACK_LANES), jnp.float32)
+    ones = jnp.ones((PACK_SUB, PACK_LANES), jnp.float32)
+
+    def cond(state):
+        ci, _, _, _, t_cur = state
+        return jnp.logical_and(ci < nchunks, jnp.max(t_cur) > t_eps)
+
+    def body(state):
+        ci, acc_r, acc_g, acc_b, t_cur = state
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < nchunks)
+        def _():
+            dma(1 - slot, ci + 1).start()
+
+        dma(slot, ci).wait()
+
+        def splat_body(i, s):
+            acc_r, acc_g, acc_b, t_cur = s
+            alpha, _, _, _, _, _ = _splat_alpha(buf, slot, i, px, py, max_alpha, soft_cutoff)
+            w = alpha * t_cur
+            acc_r = acc_r + w * buf[slot, 6, i]
+            acc_g = acc_g + w * buf[slot, 7, i]
+            acc_b = acc_b + w * buf[slot, 8, i]
+            return acc_r, acc_g, acc_b, t_cur * (1.0 - alpha)
+
+        acc_r, acc_g, acc_b, t_cur = jax.lax.fori_loop(
+            0, chunk, splat_body, (acc_r, acc_g, acc_b, t_cur)
+        )
+        return ci + 1, acc_r, acc_g, acc_b, t_cur
+
+    ci, acc_r, acc_g, acc_b, t_cur = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), zeros, zeros, zeros, ones)
+    )
+    out_ref[0, 0, 0] = acc_r
+    out_ref[0, 0, 1] = acc_g
+    out_ref[0, 0, 2] = acc_b
+    out_ref[0, 0, 3] = 1.0 - t_cur
+    # Pairs actually composited (chunk-granular early stop); the backward
+    # pass starts its reverse walk here and zero-fills beyond.
+    stop_ref[t] = jnp.minimum(count, ci * chunk)
+
+
+def _bwd_kernel(
+    start_ref,
+    count_ref,
+    used_ref,
+    payload_ref,   # (C_PAD, P_pad) HBM
+    fwd_out_ref,   # (1, 1, 4, 8, 128) VMEM block (for T_final)
+    dout_ref,      # (1, 1, 4, 8, 128) VMEM block
+    dpay_ref,      # (C_PAD, P_pad) HBM out
+    buf,           # (2, C_PAD, chunk) SMEM in
+    dbuf,          # (2, C_PAD, chunk) SMEM out staging
+    zbuf,          # (C_PAD, chunk) VMEM zeros for skipped chunks
+    sem,
+    dsem,
+    zsem,
+    *,
+    ntx: int,
+    chunk: int,
+    max_alpha: float,
+    soft_cutoff: bool,
+):
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    t = ty * ntx + tx
+    start = start_ref[t]
+    count = count_ref[t]
+    used = used_ref[t]
+    nchunks = pl.cdiv(count, chunk)
+    nused = pl.cdiv(used, chunk)
+    px, py = _pixel_coords(ty, tx)
+
+    def dma_in(slot, ci):
+        return pltpu.make_async_copy(
+            payload_ref.at[:, pl.ds(pl.multiple_of(start + ci * chunk, chunk), chunk)],
+            buf.at[slot],
+            sem.at[slot],
+        )
+
+    def dma_out(slot, ci):
+        return pltpu.make_async_copy(
+            dbuf.at[slot],
+            dpay_ref.at[:, pl.ds(pl.multiple_of(start + ci * chunk, chunk), chunk)],
+            dsem.at[slot],
+        )
+
+    # --- zero-fill gradient rows for chunks skipped by early termination ---
+    zbuf[...] = jnp.zeros((C_PAD, chunk), jnp.float32)
+
+    def zero_body(ci, _):
+        z = pltpu.make_async_copy(
+            zbuf,
+            dpay_ref.at[:, pl.ds(pl.multiple_of(start + ci * chunk, chunk), chunk)],
+            zsem,
+        )
+        z.start()
+        z.wait()
+        return 0
+
+    jax.lax.fori_loop(nused, nchunks, zero_body, 0)
+
+    # --- reverse walk over composited chunks ---
+    dc_r = dout_ref[0, 0, 0]
+    dc_g = dout_ref[0, 0, 1]
+    dc_b = dout_ref[0, 0, 2]
+    d_a = dout_ref[0, 0, 3]
+    t_final = 1.0 - fwd_out_ref[0, 0, 3]
+    # ∂A/∂α_i = T_final/(1−α_i): premultiply once.
+    da_term = d_a * t_final
+
+    @pl.when(nused > 0)
+    def _():
+        dma_in(0, nused - 1).start()
+
+    zeros = jnp.zeros((PACK_SUB, PACK_LANES), jnp.float32)
+
+    def body(state):
+        k, t_run, s_r, s_g, s_b = state  # k counts processed chunks (from the back)
+        ci = nused - 1 - k
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(ci - 1 >= 0)
+        def _():
+            dma_in(1 - slot, ci - 1).start()
+
+        dma_in(slot, ci).wait()
+
+        # Make sure the out-staging slot we're about to fill is free.
+        @pl.when(k >= 2)
+        def _():
+            dma_out(slot, nused - 1 - (k - 2)).wait()
+
+        def splat_body(j, s):
+            i = chunk - 1 - j
+            t_run, s_r, s_g, s_b = s
+            alpha, qx, qy, dx, dy, op = _splat_alpha(
+                buf, slot, i, px, py, max_alpha, soft_cutoff
+            )
+            r = buf[slot, 6, i]
+            g = buf[slot, 7, i]
+            b = buf[slot, 8, i]
+            ax = buf[slot, 2, i]
+            ay = buf[slot, 3, i]
+            bx = buf[slot, 4, i]
+            by = buf[slot, 5, i]
+            om = 1.0 - alpha  # ≥ 1 − max_alpha > 0
+            t_i = t_run / om
+            w_i = alpha * t_i
+            d_alpha = (
+                dc_r * (r * t_i - s_r / om)
+                + dc_g * (g * t_i - s_g / om)
+                + dc_b * (b * t_i - s_b / om)
+                + da_term / om
+            )
+            # Gradient gate: the max_alpha clamp and (hard mode) the
+            # inside/cutoff mask kill dα→(power, opacity) flow.  In hard mode
+            # masked pixels already have alpha == 0.
+            active = alpha < max_alpha
+            if not soft_cutoff:
+                active = active & (alpha > 0.0)
+            ga = jnp.where(active, d_alpha, 0.0)
+            d_power = -ga * alpha
+            # exp(−power) = alpha/opacity where unclamped; binning culls
+            # opacity < 1/255 so the divide is safe for real pairs, and
+            # sentinel pairs (op=0) have alpha ≡ 0.
+            exp_pow = alpha * (1.0 / jnp.maximum(op, 1e-20))
+            d_qx = 2.0 * qx * d_power
+            d_qy = 2.0 * qy * d_power
+            sum_dqx = jnp.sum(d_qx)
+            sum_dqy = jnp.sum(d_qy)
+            dbuf[slot, 0, i] = -(ax * sum_dqx + bx * sum_dqy)
+            dbuf[slot, 1, i] = -(ay * sum_dqx + by * sum_dqy)
+            dbuf[slot, 2, i] = jnp.sum(d_qx * dx)
+            dbuf[slot, 3, i] = jnp.sum(d_qx * dy)
+            dbuf[slot, 4, i] = jnp.sum(d_qy * dx)
+            dbuf[slot, 5, i] = jnp.sum(d_qy * dy)
+            dbuf[slot, 6, i] = jnp.sum(dc_r * w_i)
+            dbuf[slot, 7, i] = jnp.sum(dc_g * w_i)
+            dbuf[slot, 8, i] = jnp.sum(dc_b * w_i)
+            dbuf[slot, 9, i] = jnp.sum(ga * exp_pow)
+            return t_i, s_r + r * w_i, s_g + g * w_i, s_b + b * w_i
+
+        t_run, s_r, s_g, s_b = jax.lax.fori_loop(
+            0, chunk, splat_body, (t_run, s_r, s_g, s_b)
+        )
+        dma_out(slot, ci).start()
+        return k + 1, t_run, s_r, s_g, s_b
+
+    def cond(state):
+        return state[0] < nused
+
+    k, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t_final, zeros, zeros, zeros)
+    )
+    # Drain outstanding gradient writes.
+    @pl.when(k >= 1)
+    def _():
+        dma_out(jax.lax.rem(k - 1, 2), nused - 1 - (k - 1)).wait()
+
+    @pl.when(k >= 2)
+    def _():
+        dma_out(jax.lax.rem(k - 2, 2), nused - 1 - (k - 2)).wait()
+
+
+@functools.lru_cache(maxsize=32)
+def _build_kernels(nty: int, ntx: int, p_pad: int, cfg: RenderConfig, interpret: bool):
+    """Compile-cached forward/backward pallas_call wrappers for a grid size."""
+    num_tiles = nty * ntx
+    chunk = cfg.chunk
+
+    fwd_call = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel,
+            ntx=ntx,
+            chunk=chunk,
+            max_alpha=cfg.max_alpha,
+            soft_cutoff=cfg.soft_cutoff,
+            t_eps=cfg.transmittance_eps,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # tile_start, tile_count
+            grid=(nty, ntx),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],  # payload stays in HBM
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, 4, PACK_SUB, PACK_LANES),
+                    lambda i, j, *_: (i, j, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                # Full-array SMEM block: each program writes stop_ref[t]; the
+                # buffer persists across grid steps (constant block index).
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[
+                pltpu.SMEM((2, C_PAD, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((nty, ntx, 4, PACK_SUB, PACK_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles,), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+    bwd_call = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel,
+            ntx=ntx,
+            chunk=chunk,
+            max_alpha=cfg.max_alpha,
+            soft_cutoff=cfg.soft_cutoff,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # tile_start, tile_count, used
+            grid=(nty, ntx),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),  # payload
+                pl.BlockSpec(
+                    (1, 1, 4, PACK_SUB, PACK_LANES),
+                    lambda i, j, *_: (i, j, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),  # fwd out (for T_final)
+                pl.BlockSpec(
+                    (1, 1, 4, PACK_SUB, PACK_LANES),
+                    lambda i, j, *_: (i, j, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),  # d_out
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),  # d_payload
+            scratch_shapes=[
+                pltpu.SMEM((2, C_PAD, chunk), jnp.float32),
+                pltpu.SMEM((2, C_PAD, chunk), jnp.float32),
+                pltpu.VMEM((C_PAD, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((C_PAD, p_pad), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
+    return fwd_call, bwd_call
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def composite_pairs_pallas(
+    pair_payload: jnp.ndarray,
+    tile_start: jnp.ndarray,
+    tile_count: jnp.ndarray,
+    nty: int,
+    ntx: int,
+    config: RenderConfig,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable fused compositing over chunk-aligned pair segments.
+
+    Args:
+      pair_payload: (C_PAD, P_pad) transposed pair fields in the
+        ``ops/binning.py`` layout, grouped per tile (chunk-aligned segments,
+        front-to-back order), sentinel columns all-zero.  P_pad must be a
+        multiple of 128.
+      tile_start/tile_count: (T,) int32 segment table.
+      nty/ntx: tile grid.
+      config: static render settings (chunk/max_alpha/...).
+
+    Returns:
+      Packed tiles (nty, ntx, 4, 8, 128): premultiplied RGB + alpha, each
+      32×32 tile packed as ``row = sublane + 8·(lane//32)``, ``col = lane%32``.
+    """
+    fwd_call, _ = _build_kernels(nty, ntx, pair_payload.shape[1], config, interpret)
+    out, _ = fwd_call(tile_start, tile_count, pair_payload)
+    return out
+
+
+def _composite_fwd(pair_payload, tile_start, tile_count, nty, ntx, config, interpret):
+    fwd_call, _ = _build_kernels(nty, ntx, pair_payload.shape[1], config, interpret)
+    out, used = fwd_call(tile_start, tile_count, pair_payload)
+    return out, (pair_payload, tile_start, tile_count, out, used)
+
+
+def _composite_bwd(nty, ntx, config, interpret, res, g):
+    pair_payload, tile_start, tile_count, out, used = res
+    _, bwd_call = _build_kernels(nty, ntx, pair_payload.shape[1], config, interpret)
+    d_payload = bwd_call(tile_start, tile_count, used, pair_payload, out, g)
+    return d_payload, None, None
+
+
+composite_pairs_pallas.defvjp(_composite_fwd, _composite_bwd)
+
+
+def unpack_image(packed: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Packed tiles (nty, ntx, 4, 8, 128) → (H, W, 4) image."""
+    nty, ntx = packed.shape[0], packed.shape[1]
+    x = packed.reshape(nty, ntx, 4, PACK_SUB, PACK_LANES // TILE, TILE)
+    x = x.transpose(2, 0, 4, 3, 1, 5)  # (4, nty, grp, sub, ntx, col)
+    x = x.reshape(4, nty * TILE, ntx * TILE)
+    return x[:, :height, :width].transpose(1, 2, 0)

@@ -1,0 +1,82 @@
+"""Top-level render entry point.
+
+The TPU-native analogue of the reference's per-frame driver — the scene hook
+calling ``generateRenderGeometry → render → postRender``
+(``gsplat_plugin/src/DM_GSplatHook.C:30-39``) — collapsed into one pure
+function ``image = render(splats, camera, config)``: project → global depth
+sort → tile binning → fused compositing, differentiable end-to-end.
+
+Backends:
+  * ``"pallas"``   — fused Pallas TPU kernels (production path).
+  * ``"tiles"``    — pure-XLA tiled compositing (any platform; mid oracle).
+  * ``"reference"``— O(N·H·W) per-pixel oracle (ground truth).
+  * ``"auto"``     — pallas on TPU, tiles elsewhere.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .models.camera import Camera
+from .models.splats import GaussianSplats
+from .ops.binning import C_PAYLOAD, bin_splats, splat_payload, tile_grid
+from .ops.pallas.composite import C_PAD, composite_pairs_pallas, unpack_image
+from .ops.projection import project_splats
+from .ops.rasterize_ref import render_reference, sanitize_projected
+from .ops.rasterize_tiles import render_tiles, sort_by_depth
+from .utils.config import RenderConfig
+
+
+def render_pallas(
+    splats: GaussianSplats,
+    camera: Camera,
+    config: RenderConfig = RenderConfig(),
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused-kernel render.  Returns (H, W, 4) premultiplied RGBA."""
+    if config.tile_h != 32 or config.tile_w != 32:
+        raise ValueError("pallas backend requires tile_h == tile_w == 32")
+    projected = project_splats(splats, camera, config.sh_order)
+    p = sort_by_depth(sanitize_projected(projected))
+    binned = bin_splats(p, camera.width, camera.height, config)
+    nty, ntx = tile_grid(camera.width, camera.height, config.tile_h, config.tile_w)
+
+    # Per-splat payload (C_PAD, N+1): SoA + a benign zero sentinel column +
+    # zero padding fields up to C_PAD.  Kept transposed (fields × pairs) so a
+    # 128-pair chunk is a perfectly tiled (16, 128) VMEM block in the kernel.
+    soa = splat_payload(p)  # (C_PAYLOAD, N)
+    fields = jnp.zeros((C_PAD, p.count + 1), dtype=jnp.float32)
+    fields = fields.at[:C_PAYLOAD, :-1].set(soa)
+    pair_payload = fields[:, binned.pair_splat]  # gather; transpose = scatter-add
+
+    packed = composite_pairs_pallas(
+        pair_payload,
+        binned.tile_start,
+        binned.tile_count,
+        nty,
+        ntx,
+        config,
+        interpret,
+    )
+    return unpack_image(packed, camera.height, camera.width)
+
+
+def render(
+    splats: GaussianSplats,
+    camera: Camera,
+    config: RenderConfig = RenderConfig(),
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Render a splat scene.  Returns (H, W, 4) premultiplied RGBA."""
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() != "cpu" else "tiles"
+    if backend == "pallas":
+        return render_pallas(splats, camera, config)
+    if backend == "pallas_interpret":
+        return render_pallas(splats, camera, config, interpret=True)
+    if backend == "tiles":
+        return render_tiles(splats, camera, config)
+    if backend == "reference":
+        return render_reference(splats, camera, config)
+    raise ValueError(f"unknown backend {backend!r}")

@@ -18,10 +18,13 @@ class RenderConfig:
     # clamped with an error in src/GR_GSplat.C:444-457).
     sh_order: int = 3
 
-    # Tile size for the tiled/Pallas rasterizer.  8×128 px matches the TPU
-    # VPU register shape (8 sublanes × 128 lanes) exactly.
-    tile_h: int = 8
-    tile_w: int = 128
+    # Tile size for the tiled/Pallas rasterizer.  The Pallas kernel requires
+    # 32×32: a 32×32 pixel tile holds exactly one (8, 128) VPU register
+    # (4 row-groups of 8 rows × 32 cols packed along lanes), and a square-ish
+    # tile wastes far less masked work on typical splat footprints than the
+    # raw (8, 128) register shape would.
+    tile_h: int = 32
+    tile_w: int = 32
 
     # Per-splat cap on tiles covered when building (tile, splat) pairs; splats
     # covering more tiles than fit the pair budget are truncated (analogue of
@@ -32,6 +35,15 @@ class RenderConfig:
     # cap drops the *farthest* splats, which the early-stop would likely have
     # skipped anyway).  Must be a multiple of the compositing chunk size.
     tile_capacity: int = 4096
+
+    # Pallas compositing chunk: pairs are DMA'd HBM→VMEM in blocks of this
+    # many rows, and per-tile segments are padded to this alignment.
+    chunk: int = 128
+
+    # Splat sub-block within a chunk: alpha is computed vectorized over this
+    # many splats at once ((SBLK, 8, 128) VPU ops), then composited in a
+    # statically unrolled front-to-back walk.
+    splat_block: int = 8
 
     # Upper clamp on per-fragment alpha.  The reference clamps to 1.0
     # (GSplatShaderSource.h:308); values < 1 keep the backward pass's
@@ -63,5 +75,7 @@ class RenderConfig:
     def __post_init__(self):
         if not 0 <= self.sh_order <= 3:
             raise ValueError(f"sh_order must be in [0,3], got {self.sh_order}")
-        if self.tile_capacity % 8 != 0:
-            raise ValueError("tile_capacity must be a multiple of 8")
+        if self.tile_capacity % self.chunk != 0:
+            raise ValueError("tile_capacity must be a multiple of chunk")
+        if self.chunk % self.splat_block != 0:
+            raise ValueError("chunk must be a multiple of splat_block")

@@ -33,8 +33,10 @@ class TestBinning:
         ps = np.asarray(binned.pair_splat)
         nty, ntx = tile_grid(cam.width, cam.height, CFG.tile_h, CFG.tile_w)
         t = nty * ntx
-        # tiles are contiguous ascending segments
-        assert (np.diff(pt) >= 0).all()
+        # valid pairs form ascending tile segments (sentinel padding between)
+        assert (np.diff(pt[pt < t]) >= 0).all()
+        # chunk-aligned segment starts
+        assert (np.asarray(binned.tile_start) % CFG.chunk == 0).all()
         # within a tile, splat rank (== depth order) strictly increases
         for tile in np.unique(pt[pt < t]):
             seg = ps[pt == tile]
