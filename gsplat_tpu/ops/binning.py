@@ -111,16 +111,25 @@ def bin_splats(
     width: int,
     height: int,
     config: RenderConfig,
+    row_offset=0,
 ) -> BinnedPairs:
     """Bin depth-sorted, sanitized projected splats into tiles.
 
     ``sorted_projected`` MUST already be in ascending camera-distance order
     (the compositing order contract) and sanitized (no NaNs in invalid rows).
+
+    ``row_offset`` (int, may be traced): index of the first tile *row* of
+    this screen region, in tiles — used by the sharded renderer to bin a
+    horizontal strip [row_offset·tile_h, row_offset·tile_h + height) without
+    shifting splat coordinates (tile indices are offset by exact integer
+    arithmetic, so strip binning is bit-identical to the full-frame bin).
     """
     n = sorted_projected.count
     nty, ntx = tile_grid(width, height, config.tile_h, config.tile_w)
     num_tiles = nty * ntx
     budget = config.pair_budget(n)
+    row_offset = jnp.asarray(row_offset, dtype=jnp.int32)
+    y_base = (row_offset * config.tile_h).astype(jnp.float32)
 
     mean = sorted_projected.mean2d
     v1 = sorted_projected.v1
@@ -140,9 +149,9 @@ def bin_splats(
     cull = (
         ~sorted_projected.valid
         | (x_hi < 0.0)
-        | (y_hi < 0.0)
+        | (y_hi < y_base)
         | (x_lo >= width)
-        | (y_lo >= height)
+        | (y_lo >= y_base + height)
         | (sorted_projected.opacity < ALPHA_CUTOFF)
     )
 
@@ -150,8 +159,8 @@ def bin_splats(
     th = float(config.tile_h)
     tx0 = jnp.clip(jnp.floor(x_lo / tw).astype(jnp.int32), 0, ntx - 1)
     tx1 = jnp.clip(jnp.floor(x_hi / tw).astype(jnp.int32), 0, ntx - 1)
-    ty0 = jnp.clip(jnp.floor(y_lo / th).astype(jnp.int32), 0, nty - 1)
-    ty1 = jnp.clip(jnp.floor(y_hi / th).astype(jnp.int32), 0, nty - 1)
+    ty0 = jnp.clip(jnp.floor(y_lo / th).astype(jnp.int32) - row_offset, 0, nty - 1)
+    ty1 = jnp.clip(jnp.floor(y_hi / th).astype(jnp.int32) - row_offset, 0, nty - 1)
     nx = jnp.where(cull, 0, tx1 - tx0 + 1)
     ny = jnp.where(cull, 0, ty1 - ty0 + 1)
     counts = nx * ny

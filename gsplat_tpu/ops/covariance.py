@@ -66,7 +66,14 @@ def ewa_project(
     lim_x = FOV_CLAMP * tan_fov_x
     lim_y = FOV_CLAMP * tan_fov_y
 
-    view_pos = world_pos @ view[:3, :3].T + view[:3, 3]
+    # Explicit broadcast arithmetic (not matmul) for shard-shape-independent
+    # codegen — multi-device bit-parity (see ops/projection.py).
+    view_pos = (
+        world_pos[..., 0:1] * view[:3, 0]
+        + world_pos[..., 1:2] * view[:3, 1]
+        + world_pos[..., 2:3] * view[:3, 2]
+        + view[:3, 3]
+    )
     # Visible points have vz < 0 (GL looks down −z).  Clamp vz away from 0 so
     # behind-camera splats (masked out downstream, like the reference's w≤0
     # transparent branch at GSplatShaderSource.h:209-214) produce finite
@@ -77,22 +84,36 @@ def ewa_project(
 
     focal = screen_w * p00 / 2.0
 
-    # Standard EWA Jacobian J (rows), evaluated at the clamped view position.
-    inv_z = 1.0 / vz
-    inv_z2 = inv_z * inv_z
-    zeros = jnp.zeros_like(vz)
-    j_row0 = jnp.stack([focal * inv_z, zeros, -focal * vx * inv_z2], axis=-1)
-    j_row1 = jnp.stack([zeros, focal * inv_z, -focal * vy * inv_z2], axis=-1)
-    j = jnp.stack([j_row0, j_row1], axis=-2)  # (N, 2, 3)
-
-    # cov2d = J · (Rᵥ Σ Rᵥᵀ) · Jᵀ  where Rᵥ = view rotation.
+    # cov2d = J · (Rᵥ Σ Rᵥᵀ) · Jᵀ with the standard EWA Jacobian
+    # J = [[f/z, 0, −f·x/z²], [0, f/z, −f·y/z²]].  Expanded elementwise (no
+    # einsum/matmul) so XLA emits identical per-splat float ops regardless of
+    # shard shape — multi-device bit-parity (see ops/projection.py).
     rv = view[:3, :3]
-    cov_view = jnp.einsum("ab,nbc,dc->nad", rv, cov3d, rv)
-    cov2d = jnp.einsum("nab,nbc,ndc->nad", j, cov_view, j)
+    # tmp[k][j] = Σ_l rv[j,l]·Σ[k,l]  →  C[i][j] = Σ_k rv[i,k]·tmp[k][j]
+    tmp = [[None] * 3 for _ in range(3)]
+    for k in range(3):
+        for j in range(3):
+            acc = rv[j, 0] * cov3d[..., k, 0]
+            acc = acc + rv[j, 1] * cov3d[..., k, 1]
+            acc = acc + rv[j, 2] * cov3d[..., k, 2]
+            tmp[k][j] = acc
+    c = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            c[i][j] = (
+                rv[i, 0] * tmp[0][j] + rv[i, 1] * tmp[1][j] + rv[i, 2] * tmp[2][j]
+            )
 
-    cxx = cov2d[..., 0, 0] + COV2D_DILATION
-    cxy = cov2d[..., 0, 1]
-    cyy = cov2d[..., 1, 1] + COV2D_DILATION
+    inv_z = 1.0 / vz
+    a = focal * inv_z
+    gx = -focal * vx * inv_z * inv_z
+    gy = -focal * vy * inv_z * inv_z
+    # u0 = (a, 0, gx), u1 = (0, a, gy):  cov2d_mn = u_m · C · u_n
+    cu0 = [a * c[i][0] + gx * c[i][2] for i in range(3)]
+    cu1 = [a * c[i][1] + gy * c[i][2] for i in range(3)]
+    cxx = a * cu0[0] + gx * cu0[2] + COV2D_DILATION
+    cxy = a * cu1[0] + gx * cu1[2]
+    cyy = a * cu1[1] + gy * cu1[2] + COV2D_DILATION
     return jnp.stack([cxx, cxy, cyy], axis=-1)
 
 

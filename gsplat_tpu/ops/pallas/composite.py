@@ -47,7 +47,8 @@ C_PAD = 16         # padded payload field count (10 used — see ops/binning.py)
 
 
 def _pixel_coords(ty, tx):
-    """Pixel-center coordinates of this tile's 32×32 block, packed (8, 128)."""
+    """Pixel-center coordinates of tile (ty, tx) — ty in *global* screen tile
+    rows (strip renders pass program row + row_offset) — packed (8, 128)."""
     li = jax.lax.broadcasted_iota(jnp.int32, (PACK_SUB, PACK_LANES), 1)
     si = jax.lax.broadcasted_iota(jnp.int32, (PACK_SUB, PACK_LANES), 0)
     col = li % TILE
@@ -85,6 +86,7 @@ def _splat_alpha(buf, slot, i, px, py, max_alpha, soft_cutoff):
 def _fwd_kernel(
     start_ref,
     count_ref,
+    yoff_ref,      # (1,) int32 — global tile-row offset of this strip
     payload_ref,   # (C_PAD, P_pad) HBM
     out_ref,       # (1, 1, 4, 8, 128) VMEM block
     stop_ref,      # (T,) SMEM, full array
@@ -103,7 +105,7 @@ def _fwd_kernel(
     start = start_ref[t]
     count = count_ref[t]
     nchunks = pl.cdiv(count, chunk)
-    px, py = _pixel_coords(ty, tx)
+    px, py = _pixel_coords(ty + yoff_ref[0], tx)
 
     def dma(slot, ci):
         return pltpu.make_async_copy(
@@ -163,6 +165,7 @@ def _bwd_kernel(
     start_ref,
     count_ref,
     used_ref,
+    yoff_ref,      # (1,) int32 — global tile-row offset of this strip
     payload_ref,   # (C_PAD, P_pad) HBM
     fwd_out_ref,   # (1, 1, 4, 8, 128) VMEM block (for T_final)
     dout_ref,      # (1, 1, 4, 8, 128) VMEM block
@@ -187,7 +190,7 @@ def _bwd_kernel(
     used = used_ref[t]
     nchunks = pl.cdiv(count, chunk)
     nused = pl.cdiv(used, chunk)
-    px, py = _pixel_coords(ty, tx)
+    px, py = _pixel_coords(ty + yoff_ref[0], tx)
 
     def dma_in(slot, ci):
         return pltpu.make_async_copy(
@@ -337,7 +340,7 @@ def _build_kernels(nty: int, ntx: int, p_pad: int, cfg: RenderConfig, interpret:
             t_eps=cfg.transmittance_eps,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # tile_start, tile_count
+            num_scalar_prefetch=3,  # tile_start, tile_count, row_offset
             grid=(nty, ntx),
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],  # payload stays in HBM
             out_specs=[
@@ -371,7 +374,7 @@ def _build_kernels(nty: int, ntx: int, p_pad: int, cfg: RenderConfig, interpret:
             soft_cutoff=cfg.soft_cutoff,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,  # tile_start, tile_count, used
+            num_scalar_prefetch=4,  # tile_start, tile_count, used, row_offset
             grid=(nty, ntx),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.HBM),  # payload
@@ -403,11 +406,12 @@ def _build_kernels(nty: int, ntx: int, p_pad: int, cfg: RenderConfig, interpret:
     return fwd_call, bwd_call
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def composite_pairs_pallas(
     pair_payload: jnp.ndarray,
     tile_start: jnp.ndarray,
     tile_count: jnp.ndarray,
+    row_offset: jnp.ndarray,
     nty: int,
     ntx: int,
     config: RenderConfig,
@@ -429,21 +433,21 @@ def composite_pairs_pallas(
       32×32 tile packed as ``row = sublane + 8·(lane//32)``, ``col = lane%32``.
     """
     fwd_call, _ = _build_kernels(nty, ntx, pair_payload.shape[1], config, interpret)
-    out, _ = fwd_call(tile_start, tile_count, pair_payload)
+    out, _ = fwd_call(tile_start, tile_count, row_offset, pair_payload)
     return out
 
 
-def _composite_fwd(pair_payload, tile_start, tile_count, nty, ntx, config, interpret):
+def _composite_fwd(pair_payload, tile_start, tile_count, row_offset, nty, ntx, config, interpret):
     fwd_call, _ = _build_kernels(nty, ntx, pair_payload.shape[1], config, interpret)
-    out, used = fwd_call(tile_start, tile_count, pair_payload)
-    return out, (pair_payload, tile_start, tile_count, out, used)
+    out, used = fwd_call(tile_start, tile_count, row_offset, pair_payload)
+    return out, (pair_payload, tile_start, tile_count, row_offset, out, used)
 
 
 def _composite_bwd(nty, ntx, config, interpret, res, g):
-    pair_payload, tile_start, tile_count, out, used = res
+    pair_payload, tile_start, tile_count, row_offset, out, used = res
     _, bwd_call = _build_kernels(nty, ntx, pair_payload.shape[1], config, interpret)
-    d_payload = bwd_call(tile_start, tile_count, used, pair_payload, out, g)
-    return d_payload, None, None
+    d_payload = bwd_call(tile_start, tile_count, used, row_offset, pair_payload, out, g)
+    return d_payload, None, None, None
 
 
 composite_pairs_pallas.defvjp(_composite_fwd, _composite_bwd)

@@ -61,9 +61,28 @@ def project_splats(
 
     # Center projection (net math of GSplatShaderSource.h:204-214 + viewport
     # transform; the shader's double y-flip cancels for the center).
-    view_pos = pos @ view[:3, :3].T + view[:3, 3]
-    clip = view_pos @ proj[:3, :3].T + proj[:3, 3]
-    clip_w = view_pos @ proj[3, :3].T + proj[3, 3]
+    # Written as explicit broadcast arithmetic rather than matmuls so the
+    # per-splat float ops are identical regardless of the array's shard shape
+    # — this is what makes multi-device strip renders bit-match single-device
+    # full-frame renders (XLA lowers small matmuls differently per shape).
+    view_pos = (
+        pos[..., 0:1] * view[:3, 0]
+        + pos[..., 1:2] * view[:3, 1]
+        + pos[..., 2:3] * view[:3, 2]
+        + view[:3, 3]
+    )
+    clip = (
+        view_pos[..., 0:1] * proj[:3, 0]
+        + view_pos[..., 1:2] * proj[:3, 1]
+        + view_pos[..., 2:3] * proj[:3, 2]
+        + proj[:3, 3]
+    )
+    clip_w = (
+        view_pos[..., 0] * proj[3, 0]
+        + view_pos[..., 1] * proj[3, 1]
+        + view_pos[..., 2] * proj[3, 2]
+        + proj[3, 3]
+    )
     valid = clip_w > 0.0
     safe_w = jnp.where(valid, clip_w, 1.0)
     ndc = clip / safe_w[..., None]

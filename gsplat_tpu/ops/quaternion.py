@@ -73,6 +73,22 @@ def rotation_scale_matrix(orient_xyzw: jnp.ndarray, scale: jnp.ndarray) -> jnp.n
 
 
 def covariance_3d(orient_xyzw: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
-    """3D covariance ``Σ = MᵀM`` (``GSplatShaderCoreLib.h:29-35``)."""
+    """3D covariance ``Σ = MᵀM`` (``GSplatShaderCoreLib.h:29-35``).
+
+    Expanded elementwise (not einsum) so XLA emits identical per-splat float
+    ops for any array shape — required for multi-device bit-parity with
+    single-device renders (see ``ops/projection.py``).
+    """
     m = rotation_scale_matrix(orient_xyzw, scale)
-    return jnp.einsum("...ki,...kj->...ij", m, m)
+    rows = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(i, 3):
+            acc = m[..., 0, i] * m[..., 0, j]
+            for k in (1, 2):
+                acc = acc + m[..., k, i] * m[..., k, j]
+            rows[i][j] = acc
+            rows[j][i] = acc
+    return jnp.stack(
+        [jnp.stack(r, axis=-1) for r in rows],
+        axis=-2,
+    )

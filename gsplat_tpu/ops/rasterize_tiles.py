@@ -62,6 +62,7 @@ def composite_tile_lists(
     width: int,
     height: int,
     config: RenderConfig,
+    row_offset=0,
 ) -> jnp.ndarray:
     """Front-to-back composite of dense tile lists.
 
@@ -83,10 +84,14 @@ def composite_tile_lists(
     pad = jnp.zeros((C_PAYLOAD, 1), dtype=payload.dtype)
     payload_p = jnp.concatenate([payload, pad], axis=1)
 
-    # Per-tile pixel-center coordinates.
+    # Per-tile pixel-center coordinates.  row_offset shifts into global
+    # screen rows by exact integer arithmetic (strip rendering stays
+    # bit-identical to full-frame).
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     origin_x = (tile_ids % ntx * tw).astype(jnp.float32)
-    origin_y = (tile_ids // ntx * th).astype(jnp.float32)
+    origin_y = ((tile_ids // ntx + jnp.asarray(row_offset, jnp.int32)) * th).astype(
+        jnp.float32
+    )
     iota_y = (jnp.arange(th, dtype=jnp.float32) + 0.5)[None, :, None]
     iota_x = (jnp.arange(tw, dtype=jnp.float32) + 0.5)[None, None, :]
     px = origin_x[:, None, None] + iota_x  # (T, 1, TW)

@@ -1,0 +1,164 @@
+"""Multi-device sharded rendering (SPMD over a named mesh).
+
+Designed from scratch for TPU (the reference has no distribution layer —
+SURVEY.md §5 "Distributed communication backend: absent").  Decomposition:
+
+* **Splats sharded** over the ``sp`` axis: each device projects N/d splats
+  (the heavy per-primitive math + its backward stay fully sharded).
+* **all_gather (ICI)** of the compact projected payload (~44 B/splat) — the
+  rasterizer's analogue of a sequence-parallel ring exchange: every device
+  needs every visible splat's screen footprint, but only the *projected*
+  form, never the raw parameters.
+* **Replicated global depth sort** of the gathered keys — every device
+  computes the identical stable permutation, so per-tile compositing order
+  is bit-identical to the single-device render (determinism across shardings
+  by construction; SURVEY.md §7 hard part (d)).
+* **Image tile rows sharded** over the same axis: each device bins + fuses
+  only its horizontal strip of 32-px tile rows (the pixel/SP dimension).
+* Backward: XLA transposes the all_gather into a psum_scatter, so per-splat
+  gradients flow back to their owning shard automatically — overlapped with
+  the rest of the backward by the XLA scheduler.
+
+Works on any backend (tests run on an 8-device virtual CPU mesh with the
+pure-XLA tile compositor; TPU uses the fused Pallas kernels).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.camera import Camera
+from ..models.splats import GaussianSplats
+from ..ops.binning import C_PAYLOAD, bin_splats, splat_payload, tile_grid
+from ..ops.pallas.composite import C_PAD, composite_pairs_pallas, unpack_image
+from ..ops.projection import project_splats
+from ..ops.rasterize_ref import sanitize_projected
+from ..ops.rasterize_tiles import (
+    build_tile_lists,
+    composite_tile_lists,
+    sort_by_depth,
+)
+from ..utils.config import RenderConfig
+from .mesh import SPLAT_AXIS, pad_to_multiple
+
+
+def pad_splats(splats: GaussianSplats, multiple: int) -> GaussianSplats:
+    """Pad the splat cluster with fully transparent splats (culled at
+    binning) so N divides the mesh axis."""
+    n = splats.count
+    n_pad = pad_to_multiple(n, multiple)
+    if n_pad == n:
+        return splats
+    extra = n_pad - n
+
+    def pad(x):
+        widths = [(0, extra)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths)
+
+    return GaussianSplats(
+        pos=pad(splats.pos),
+        orient=pad(splats.orient),
+        scale=pad(splats.scale),
+        opacity=pad(splats.opacity),  # zero-padded → opacity 0 → culled
+        color=pad(splats.color),
+        sh=pad(splats.sh),
+    )
+
+
+def shard_splats(splats: GaussianSplats, mesh: Mesh, axis: str = SPLAT_AXIS) -> GaussianSplats:
+    """Pad + device_put with the leading dim sharded over ``axis``."""
+    padded = pad_splats(splats, mesh.shape[axis])
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), padded)
+
+
+def _render_strip(
+    projected_sorted,
+    width: int,
+    strip_h: int,
+    row_offset,
+    config: RenderConfig,
+    backend: str,
+):
+    """Bin + composite one horizontal strip of tile rows (local to a device).
+
+    ``projected_sorted`` is the full, depth-sorted, sanitized projected-splat
+    set; ``row_offset`` (traced int, in tiles) selects the strip.  Splat
+    coordinates are never shifted — tile indices and pixel coordinates use
+    exact integer offsets, so every strip is bit-identical to the matching
+    rows of a full-frame render.
+    """
+    p = projected_sorted
+    binned = bin_splats(p, width, strip_h, config, row_offset=row_offset)
+    nty, ntx = tile_grid(width, strip_h, config.tile_h, config.tile_w)
+    if backend == "pallas":
+        soa = splat_payload(p)
+        fields = jnp.zeros((C_PAD, p.count + 1), dtype=jnp.float32)
+        fields = fields.at[:C_PAYLOAD, :-1].set(soa)
+        pair_payload = fields[:, binned.pair_splat]
+        packed = composite_pairs_pallas(
+            pair_payload,
+            binned.tile_start,
+            binned.tile_count,
+            jnp.reshape(row_offset, (1,)).astype(jnp.int32),
+            nty,
+            ntx,
+            config,
+        )
+        return unpack_image(packed, strip_h, width)
+    lists = build_tile_lists(binned, nty * ntx, config.tile_capacity, p.count)
+    payload = splat_payload(p)
+    return composite_tile_lists(
+        lists, payload, width, strip_h, config, row_offset=row_offset
+    )
+
+
+def render_sharded(
+    splats: GaussianSplats,
+    camera: Camera,
+    config: RenderConfig = RenderConfig(),
+    mesh: Mesh = None,
+    backend: str = "auto",
+    axis: str = SPLAT_AXIS,
+) -> jnp.ndarray:
+    """Multi-device render.  ``splats`` leading dims must divide the mesh
+    axis (use :func:`shard_splats`).  Returns (H, W, 4), rows sharded.
+    """
+    if mesh is None:
+        raise ValueError("render_sharded requires a mesh")
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() != "cpu" else "tiles"
+    d = mesh.shape[axis]
+    # Each device owns an equal strip of 32-px-aligned tile rows.
+    h_pad = pad_to_multiple(camera.height, d * config.tile_h)
+    strip_h = h_pad // d
+
+    def local_fn(splats_local):
+        projected = project_splats(splats_local, camera, config.sh_order)
+        p = sanitize_projected(projected)
+        # Compact payload exchange: every device needs every projected splat.
+        p_full = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, axis, tiled=True), p
+        )
+        p_sorted = sort_by_depth(p_full)  # identical permutation on all devices
+        di = jax.lax.axis_index(axis)
+        row_offset = di * (strip_h // config.tile_h)
+        return _render_strip(
+            p_sorted, camera.width, strip_h, row_offset, config, backend
+        )
+
+    in_specs = (P(axis),)
+    out_specs = P(axis)
+    # check_vma=False: the compositing scan initializes its carry from
+    # device-invariant constants, which the varying-axes checker rejects even
+    # though the computation is correct under replication.
+    fn = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )
+    image = fn(splats)
+    return image[: camera.height]

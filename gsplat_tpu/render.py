@@ -54,6 +54,7 @@ def render_pallas(
         pair_payload,
         binned.tile_start,
         binned.tile_count,
+        jnp.zeros((1,), jnp.int32),
         nty,
         ntx,
         config,
