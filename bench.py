@@ -1,0 +1,93 @@
+"""Headline benchmark: 1M-splat 1080p forward+backward frames/sec on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numbers (BASELINE.md), so vs_baseline is null.
+
+Usage: python bench.py [--splats N] [--width W] [--height H] [--fwd-only]
+"""
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--splats", type=int, default=1_000_000)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--fwd-only", action="store_true")
+    ap.add_argument("--backend", default="auto")
+    args = ap.parse_args()
+
+    import gsplat_tpu as gt
+
+    key = jax.random.PRNGKey(0)
+    # a scene that covers the frame with realistic footprints + full SH
+    splats = gt.random_splats(
+        key, args.splats, extent=1.2, scale_range=(0.002, 0.01), sh_scale=0.1
+    )
+    cam = gt.make_camera(
+        eye=[0.0, 0.4, 3.0], target=[0, 0, 0], width=args.width, height=args.height
+    )
+    cfg = gt.RenderConfig(pairs_per_splat=8.0)
+
+    backend = args.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() != "cpu" else "tiles"
+
+    def fwd(s):
+        return gt.render(s, cam, cfg, backend=backend)
+
+    def fwd_bwd(s):
+        def loss(s_):
+            return jnp.sum(fwd(s_)[..., :3])
+
+        return jax.grad(loss)(s)
+
+    fn = jax.jit(fwd if args.fwd_only else fwd_bwd)
+
+    def run_once():
+        out = fn(splats)
+        jax.block_until_ready(out)
+
+    try:
+        for _ in range(args.warmup):
+            run_once()
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            run_once()
+            times.append(time.perf_counter() - t0)
+        dt = statistics.median(times)
+        fps = 1.0 / dt
+    except Exception as e:  # report failure as a parseable result
+        print(json.dumps({
+            "metric": "1M-splat 1080p fwd+bwd frames/sec/chip",
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }))
+        sys.exit(1)
+
+    kind = "fwd" if args.fwd_only else "fwd+bwd"
+    print(json.dumps({
+        "metric": f"{args.splats//1000}k-splat {args.width}x{args.height} {kind} frames/sec/chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": None,
+        "backend": backend,
+        "median_ms": round(dt * 1000, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,206 @@
+"""Training loop: Adam on all splat parameters from posed images.
+
+The capability layer the reference lacks entirely (forward-only viewport
+renderer): end-to-end differentiable fitting of pos/quat/scale/opacity/
+color/SH (BASELINE.json config 5), single-device or SPMD over a (dp, sp)
+mesh — camera batch data-parallel over ``dp``, splats + image tile rows
+sharded over ``sp`` with the gather/psum_scatter exchange of
+``parallel/render_sharded.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.camera import Camera
+from ..parallel.mesh import BATCH_AXIS, SPLAT_AXIS, pad_to_multiple
+from ..parallel.render_sharded import _render_strip
+from ..ops.projection import project_splats
+from ..ops.rasterize_ref import sanitize_projected
+from ..ops.rasterize_tiles import sort_by_depth
+from ..render import render
+from ..utils.config import RenderConfig
+from .loss import l1_loss, render_loss
+from .params import SplatParams, splats_from_params
+
+
+def default_optimizer(lr_pos: float = 1.6e-4) -> optax.GradientTransformation:
+    """Per-parameter learning rates following standard 3DGS practice."""
+    return optax.multi_transform(
+        {
+            "pos": optax.adam(lr_pos),
+            "quat": optax.adam(1e-3),
+            "log_scale": optax.adam(5e-3),
+            "logit_opacity": optax.adam(5e-2),
+            "color": optax.adam(2.5e-3),
+            "sh": optax.adam(2.5e-3 / 20.0),
+        },
+        param_labels=SplatParams(
+            pos="pos",
+            quat="quat",
+            log_scale="log_scale",
+            logit_opacity="logit_opacity",
+            color="color",
+            sh="sh",
+        ),
+    )
+
+
+def make_train_step(
+    optimizer: optax.GradientTransformation,
+    camera: Camera,
+    config: RenderConfig = RenderConfig(),
+    backend: str = "auto",
+    lambda_dssim: float = 0.2,
+) -> Callable:
+    """Single-device train step: (params, opt_state, target_rgb) →
+    (params, opt_state, loss).  ``target_rgb``: (H, W, 3) in [0, 1]."""
+
+    def loss_fn(params, target):
+        splats = splats_from_params(params)
+        img = render(splats, camera, config, backend=backend)
+        # composite over white background like 3DGS training convention
+        rgb = img[..., :3] + (1.0 - img[..., 3:4])
+        return render_loss(rgb, target, lambda_dssim)
+
+    @jax.jit
+    def step(params, opt_state, target):
+        loss, grads = jax.value_and_grad(loss_fn)(params, target)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def _params_spec(mesh_axis: str):
+    return SplatParams(
+        pos=P(mesh_axis),
+        quat=P(mesh_axis),
+        log_scale=P(mesh_axis),
+        logit_opacity=P(mesh_axis),
+        color=P(mesh_axis),
+        sh=P(mesh_axis),
+    )
+
+
+def make_sharded_train_step(
+    optimizer: optax.GradientTransformation,
+    camera: Camera,
+    mesh: Mesh,
+    config: RenderConfig = RenderConfig(),
+    backend: str = "auto",
+    batch_per_step: int = None,
+) -> Callable:
+    """SPMD train step over a (dp, sp) mesh.
+
+    Layout: params + optimizer state sharded over ``sp`` (every device holds
+    N/sp splats and their Adam moments — memory-scalable); camera batch
+    sharded over ``dp``; targets sharded (batch over ``dp``, image rows over
+    ``sp``).  Loss is plain L1 in sharded mode (SSIM windows would need halo
+    exchange between row strips).
+
+    Returns ``step(params, opt_state, views, projs, targets) →
+    (params, opt_state, loss)`` where views/projs are (B, 4, 4) stacked
+    camera matrices and targets is (B, H_pad, W, 3); B divides dp, H_pad =
+    rows padded to dp·sp·tile_h.
+    """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() != "cpu" else "tiles"
+    dp = mesh.shape[BATCH_AXIS]
+    sp = mesh.shape[SPLAT_AXIS]
+    h_pad = pad_to_multiple(camera.height, sp * config.tile_h)
+    strip_h = h_pad // sp
+
+    def local_step(params_l, opt_state_l, views_l, projs_l, targets_l):
+        b_local = views_l.shape[0]
+
+        def loss_fn(p):
+            splats = splats_from_params(p)
+            projected_by_cam = []
+            si = jax.lax.axis_index(SPLAT_AXIS)
+            row_offset = si * (strip_h // config.tile_h)
+            total = 0.0
+            for b in range(b_local):  # static, small
+                cam_b = dataclasses.replace(
+                    camera, view=views_l[b], proj=projs_l[b]
+                )
+                pr = sanitize_projected(project_splats(splats, cam_b, config.sh_order))
+                pr_full = jax.tree.map(
+                    lambda x: jax.lax.all_gather(x, SPLAT_AXIS, tiled=True), pr
+                )
+                pr_sorted = sort_by_depth(pr_full)
+                strip = _render_strip(
+                    pr_sorted, camera.width, strip_h, row_offset, config, backend
+                )
+                rgb = strip[..., :3] + (1.0 - strip[..., 3:4])
+                total = total + l1_loss(rgb, targets_l[b])
+            # 1/sp: the global loss is the *mean* of per-strip L1s, but the
+            # all_gather transpose (psum_scatter) will *sum* per-strip grads
+            # over sp — normalize here so the summed grads are the mean's.
+            return total / (b_local * sp)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params_l)
+        # sp-axis grads already reduced by the all_gather transpose
+        # (psum_scatter); average the camera batch across dp.
+        grads = jax.lax.pmean(grads, BATCH_AXIS)
+        loss = jax.lax.pmean(jax.lax.psum(loss, SPLAT_AXIS), BATCH_AXIS)
+        updates, opt_state_l = optimizer.update(grads, opt_state_l, params_l)
+        params_l = optax.apply_updates(params_l, updates)
+        return params_l, opt_state_l, loss
+
+    pspec = _params_spec(SPLAT_AXIS)
+
+    def opt_spec_of(state):
+        return jax.tree.map(
+            lambda x: P(SPLAT_AXIS) if getattr(x, "ndim", 0) > 0 else P(),
+            state,
+            is_leaf=lambda x: isinstance(x, jax.Array) or hasattr(x, "ndim"),
+        )
+
+    def step(params, opt_state, views, projs, targets):
+        ospec = opt_spec_of(opt_state)
+        fn = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(pspec, ospec, P(BATCH_AXIS), P(BATCH_AXIS), P(BATCH_AXIS, SPLAT_AXIS)),
+            out_specs=(pspec, ospec, P()),
+            check_vma=False,
+        )
+        return fn(params, opt_state, views, projs, targets)
+
+    return jax.jit(step)
+
+
+def shard_params(params: SplatParams, mesh: Mesh) -> SplatParams:
+    """Pad N to the sp axis and device_put with dim-0 sharded."""
+    sp = mesh.shape[SPLAT_AXIS]
+    n = params.count
+    n_pad = pad_to_multiple(n, sp)
+    if n_pad != n:
+        extra = n_pad - n
+
+        def pad(x):
+            widths = [(0, extra)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths)
+
+        # padded splats: logit_opacity −20 → opacity ≈ 0 → culled at binning
+        params = SplatParams(
+            pos=pad(params.pos),
+            quat=pad(params.quat).at[n:, 3].set(1.0),
+            log_scale=pad(params.log_scale),
+            logit_opacity=jnp.concatenate(
+                [params.logit_opacity, jnp.full((extra,), -20.0, params.logit_opacity.dtype)]
+            ),
+            color=pad(params.color),
+            sh=pad(params.sh),
+        )
+    sharding = NamedSharding(mesh, P(SPLAT_AXIS))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), params)

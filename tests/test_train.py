@@ -1,0 +1,161 @@
+"""Training tests: loss functions, single-device fitting convergence,
+sharded train step on the virtual mesh, checkpoint round-trip."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from gsplat_tpu import RenderConfig, make_camera, random_splats, render_tiles
+from gsplat_tpu.parallel.mesh import make_mesh
+from gsplat_tpu.train.loss import l1_loss, psnr, render_loss, ssim
+from gsplat_tpu.train.params import params_from_splats, splats_from_params
+from gsplat_tpu.train.trainer import (
+    default_optimizer,
+    make_sharded_train_step,
+    make_train_step,
+    shard_params,
+)
+
+CFG = RenderConfig(tile_capacity=512, transmittance_eps=0.0)
+
+
+class TestLoss:
+    def test_ssim_identity(self):
+        img = jax.random.uniform(jax.random.PRNGKey(0), (32, 32, 3))
+        assert float(ssim(img, img)) > 0.999
+
+    def test_ssim_decreases_with_noise(self):
+        img = jax.random.uniform(jax.random.PRNGKey(0), (32, 32, 3))
+        noisy = jnp.clip(img + 0.3 * jax.random.normal(jax.random.PRNGKey(1), img.shape), 0, 1)
+        assert float(ssim(img, noisy)) < float(ssim(img, img)) - 0.05
+
+    def test_render_loss_zero_at_match(self):
+        img = jax.random.uniform(jax.random.PRNGKey(0), (16, 16, 3))
+        assert float(render_loss(img, img)) < 1e-5
+
+    def test_psnr(self):
+        img = jnp.zeros((8, 8, 3))
+        assert float(psnr(img, img + 0.1)) == pytest.approx(20.0, abs=0.1)
+
+
+class TestParams:
+    def test_round_trip(self):
+        splats = random_splats(jax.random.PRNGKey(0), 32, sh_scale=0.2)
+        splats = dataclasses.replace(splats, opacity=jnp.clip(splats.opacity, 0.02, 0.98))
+        back = splats_from_params(params_from_splats(splats))
+        for f in ("pos", "orient", "scale", "opacity", "color", "sh"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(back, f)), np.asarray(getattr(splats, f)),
+                rtol=1e-4, atol=1e-5, err_msg=f,
+            )
+
+
+class TestFit:
+    def test_loss_decreases(self):
+        # fit a perturbed scene back toward the target render
+        key = jax.random.PRNGKey(0)
+        target_splats = random_splats(key, 32, extent=0.6, sh_scale=0.0)
+        cam = make_camera([0.0, 0.3, 2.5], [0, 0, 0], 64, 64)
+        timg = render_tiles(target_splats, cam, CFG)
+        target_rgb = timg[..., :3] + (1.0 - timg[..., 3:4])
+
+        perturbed = dataclasses.replace(
+            target_splats,
+            pos=target_splats.pos + 0.05 * jax.random.normal(jax.random.PRNGKey(1), (32, 3)),
+            color=jnp.clip(
+                target_splats.color + 0.3 * jax.random.normal(jax.random.PRNGKey(2), (32, 3)),
+                0.0, 1.0,
+            ),
+        )
+        params = params_from_splats(perturbed)
+        opt = optax.adam(1e-2)
+        opt_state = opt.init(params)
+        step = make_train_step(opt, cam, CFG, backend="tiles", lambda_dssim=0.0)
+        losses = []
+        for _ in range(30):
+            params, opt_state, loss = step(params, opt_state, target_rgb)
+            losses.append(float(loss))
+        assert losses[-1] < 0.5 * losses[0], losses[::10]
+
+    def test_default_optimizer_runs(self):
+        splats = random_splats(jax.random.PRNGKey(0), 16, extent=0.5)
+        params = params_from_splats(splats)
+        opt = default_optimizer()
+        opt_state = opt.init(params)
+        cam = make_camera([0, 0, 2.5], [0, 0, 0], 32, 32)
+        step = make_train_step(opt, cam, CFG, backend="tiles", lambda_dssim=0.0)
+        target = jnp.ones((32, 32, 3)) * 0.5
+        params2, _, loss = step(params, opt_state, target)
+        assert np.isfinite(float(loss))
+        assert np.abs(np.asarray(params2.pos) - np.asarray(params.pos)).max() > 0
+
+
+class TestShardedTrain:
+    def test_sharded_step_matches_single(self):
+        # 2 dp × 4 sp mesh; single camera per dp row; L1 loss; compare the
+        # post-step params against an equivalent single-device step.
+        mesh = make_mesh(batch=2, splat=4)
+        cfg = CFG
+        key = jax.random.PRNGKey(0)
+        splats = random_splats(key, 64, extent=0.6)
+        cam = make_camera([0.0, 0.3, 2.5], [0, 0, 0], 64, 256)  # H=256=2*4*32
+        # start from a perturbed scene so loss/grads are O(1), not float noise
+        perturbed = dataclasses.replace(
+            splats,
+            pos=splats.pos + 0.04 * jax.random.normal(jax.random.PRNGKey(9), (64, 3)),
+        )
+        params = params_from_splats(perturbed)
+
+        views = jnp.stack([cam.view, cam.view])
+        projs = jnp.stack([cam.proj, cam.proj])
+        timg = render_tiles(splats, cam, cfg)
+        target = (timg[..., :3] + (1.0 - timg[..., 3:4]))
+        targets = jnp.stack([target, target])
+
+        # SGD for the parity check: Adam's m/√v normalization amplifies
+        # float-accumulation-order noise in near-zero gradients.
+        opt = optax.sgd(1e-2)
+        sharded_params = shard_params(params, mesh)
+        opt_state = opt.init(sharded_params)
+        step = make_sharded_train_step(opt, cam, mesh, cfg, backend="tiles")
+        p2, _, loss = step(sharded_params, opt_state, views, projs, targets)
+
+        # single-device reference: identical batch (2 identical cameras)
+        def loss_single(p):
+            s = splats_from_params(p)
+            img = render_tiles(s, cam, cfg)
+            rgb = img[..., :3] + (1.0 - img[..., 3:4])
+            return l1_loss(rgb, target)
+
+        l_ref, g_ref = jax.value_and_grad(loss_single)(params)
+        opt_state_ref = opt.init(params)
+        upd, _ = opt.update(g_ref, opt_state_ref, params)
+        p_ref = optax.apply_updates(params, upd)
+
+        assert float(loss) == pytest.approx(float(l_ref), rel=1e-5)
+        for f in ("pos", "quat", "log_scale", "logit_opacity", "color", "sh"):
+            a = np.asarray(getattr(p_ref, f))
+            b = np.asarray(getattr(p2, f))
+            np.testing.assert_allclose(b, a, atol=1e-5, err_msg=f)
+
+
+class TestCheckpoint:
+    def test_round_trip(self, tmp_path):
+        from gsplat_tpu.io.checkpoint import restore_checkpoint, save_checkpoint
+
+        splats = random_splats(jax.random.PRNGKey(0), 16)
+        params = params_from_splats(splats)
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+        save_checkpoint(str(tmp_path / "ckpt"), 7, params, opt_state)
+        step, p2, o2 = restore_checkpoint(str(tmp_path / "ckpt"), params, opt_state)
+        assert step == 7
+        np.testing.assert_allclose(np.asarray(p2.pos), np.asarray(params.pos))
+        chex_equal = jax.tree.all(
+            jax.tree.map(lambda a, b: jnp.allclose(a, b), o2, opt_state)
+        )
+        assert bool(chex_equal)
