@@ -121,12 +121,14 @@ def _fwd_kernel(
     zeros = jnp.zeros((PACK_SUB, PACK_LANES), jnp.float32)
     ones = jnp.ones((PACK_SUB, PACK_LANES), jnp.float32)
 
+    # `alive` is a scalar carry (computed at the end of each body) rather
+    # than a vector reduce inside the loop condition.
     def cond(state):
-        ci, _, _, _, t_cur = state
-        return jnp.logical_and(ci < nchunks, jnp.max(t_cur) > t_eps)
+        ci, alive, _, _, _, _ = state
+        return jnp.logical_and(ci < nchunks, alive)
 
     def body(state):
-        ci, acc_r, acc_g, acc_b, t_cur = state
+        ci, _, acc_r, acc_g, acc_b, t_cur = state
         slot = jax.lax.rem(ci, 2)
 
         @pl.when(ci + 1 < nchunks)
@@ -147,11 +149,19 @@ def _fwd_kernel(
         acc_r, acc_g, acc_b, t_cur = jax.lax.fori_loop(
             0, chunk, splat_body, (acc_r, acc_g, acc_b, t_cur)
         )
-        return ci + 1, acc_r, acc_g, acc_b, t_cur
+        alive = jnp.max(t_cur) > t_eps
+        return ci + 1, alive, acc_r, acc_g, acc_b, t_cur
 
-    ci, acc_r, acc_g, acc_b, t_cur = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), zeros, zeros, zeros, ones)
+    ci, _, acc_r, acc_g, acc_b, t_cur = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.bool_(True), zeros, zeros, zeros, ones)
     )
+    # Early termination exits with the NEXT chunk's DMA already in flight
+    # (started at the top of the last body).  An unwaited DMA at kernel end
+    # aborts the TPU — drain it.
+    @pl.when(jnp.logical_and(ci >= 1, ci < nchunks))
+    def _():
+        dma(jax.lax.rem(ci, 2), ci).wait()
+
     out_ref[0, 0, 0] = acc_r
     out_ref[0, 0, 1] = acc_g
     out_ref[0, 0, 2] = acc_b
@@ -167,21 +177,41 @@ def _bwd_kernel(
     used_ref,
     yoff_ref,      # (1,) int32 — global tile-row offset of this strip
     payload_ref,   # (C_PAD, P_pad) HBM
-    fwd_out_ref,   # (1, 1, 4, 8, 128) VMEM block (for T_final)
+    fwd_out_ref,   # (1, 1, 4, 8, 128) VMEM block (unused; kept for residual plumbing)
     dout_ref,      # (1, 1, 4, 8, 128) VMEM block
     dpay_ref,      # (C_PAD, P_pad) HBM out
     buf,           # (2, C_PAD, chunk) SMEM in
     dbuf,          # (2, C_PAD, chunk) SMEM out staging
     zbuf,          # (C_PAD, chunk) VMEM zeros for skipped chunks
+    tstart,        # (max_chunks, 8, 128) VMEM — transmittance at chunk starts
+    tsplat,        # (chunk, 8, 128) VMEM — per-splat transmittance, one chunk
     sem,
     dsem,
     zsem,
     *,
     ntx: int,
     chunk: int,
+    max_chunks: int,
     max_alpha: float,
     soft_cutoff: bool,
 ):
+    """Backward: division-free two-pass replay.
+
+    The textbook 3DGS backward reconstructs per-splat transmittance by
+    dividing the final T by (1−α) back-to-front; that collapses to zero for
+    saturated pixels once T underflows (front splats then lose their
+    gradients entirely).  Instead:
+
+      * pass 1 re-runs the forward alpha sweep, checkpointing T at each
+        chunk start (``tstart``, ≤ tile_capacity/chunk snapshots in VMEM);
+      * pass 2 walks chunks in reverse; within a chunk it recomputes T
+        forward from the checkpoint into ``tsplat`` (exact — same ops as the
+        forward kernel), then emits gradients back-to-front using the
+        division-free identities
+            S_i/(1−α_i)       = T_i·s̃_i,   s̃_i = c_{i+1}α_{i+1} + (1−α_{i+1})s̃_{i+1}
+            T_final/(1−α_i)   = T_i·R_i,   R_i = Π_{j>i}(1−α_j)
+        so every quantity is a bounded product of forward values.
+    """
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     t = ty * ntx + tx
@@ -221,25 +251,48 @@ def _bwd_kernel(
 
     jax.lax.fori_loop(nused, nchunks, zero_body, 0)
 
-    # --- reverse walk over composited chunks ---
     dc_r = dout_ref[0, 0, 0]
     dc_g = dout_ref[0, 0, 1]
     dc_b = dout_ref[0, 0, 2]
     d_a = dout_ref[0, 0, 3]
-    t_final = 1.0 - fwd_out_ref[0, 0, 3]
-    # ∂A/∂α_i = T_final/(1−α_i): premultiply once.
-    da_term = d_a * t_final
 
-    @pl.when(nused > 0)
-    def _():
-        dma_in(0, nused - 1).start()
-
+    ones = jnp.ones((PACK_SUB, PACK_LANES), jnp.float32)
     zeros = jnp.zeros((PACK_SUB, PACK_LANES), jnp.float32)
 
+    # ---- pass 1: forward alpha sweep, checkpoint T at chunk starts ----
+    @pl.when(nused > 0)
+    def _():
+        dma_in(0, 0).start()
+
+    def p1_body(ci, t_cur):
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < nused)
+        def _():
+            dma_in(1 - slot, ci + 1).start()
+
+        dma_in(slot, ci).wait()
+        tstart[ci] = t_cur
+
+        def splat_body(i, t_c):
+            alpha, _, _, _, _, _ = _splat_alpha(
+                buf, slot, i, px, py, max_alpha, soft_cutoff
+            )
+            return t_c * (1.0 - alpha)
+
+        return jax.lax.fori_loop(0, chunk, splat_body, t_cur)
+
+    jax.lax.fori_loop(0, nused, p1_body, ones)
+
+    # ---- pass 2: reverse chunks; exact within-chunk T replay; gradients ----
+    @pl.when(nused > 0)
+    def _():
+        dma_in(jax.lax.rem(nused - 1, 2), nused - 1).start()
+
     def body(state):
-        k, t_run, s_r, s_g, s_b = state  # k counts processed chunks (from the back)
+        k, sr, sg, sb, rr = state  # k counts processed chunks (from the back)
         ci = nused - 1 - k
-        slot = jax.lax.rem(k, 2)
+        slot = jax.lax.rem(ci, 2)
 
         @pl.when(ci - 1 >= 0)
         def _():
@@ -248,13 +301,25 @@ def _bwd_kernel(
         dma_in(slot, ci).wait()
 
         # Make sure the out-staging slot we're about to fill is free.
+        oslot = jax.lax.rem(k, 2)
+
         @pl.when(k >= 2)
         def _():
-            dma_out(slot, nused - 1 - (k - 2)).wait()
+            dma_out(oslot, nused - 1 - (k - 2)).wait()
+
+        # exact forward T replay within this chunk (same ops as fwd kernel)
+        def fill_body(i, t_c):
+            tsplat[i] = t_c
+            alpha, _, _, _, _, _ = _splat_alpha(
+                buf, slot, i, px, py, max_alpha, soft_cutoff
+            )
+            return t_c * (1.0 - alpha)
+
+        jax.lax.fori_loop(0, chunk, fill_body, tstart[ci])
 
         def splat_body(j, s):
             i = chunk - 1 - j
-            t_run, s_r, s_g, s_b = s
+            sr, sg, sb, rr = s
             alpha, qx, qy, dx, dy, op = _splat_alpha(
                 buf, slot, i, px, py, max_alpha, soft_cutoff
             )
@@ -265,14 +330,10 @@ def _bwd_kernel(
             ay = buf[slot, 3, i]
             bx = buf[slot, 4, i]
             by = buf[slot, 5, i]
-            om = 1.0 - alpha  # ≥ 1 − max_alpha > 0
-            t_i = t_run / om
+            t_i = tsplat[i]
             w_i = alpha * t_i
-            d_alpha = (
-                dc_r * (r * t_i - s_r / om)
-                + dc_g * (g * t_i - s_g / om)
-                + dc_b * (b * t_i - s_b / om)
-                + da_term / om
+            d_alpha = t_i * (
+                dc_r * (r - sr) + dc_g * (g - sg) + dc_b * (b - sb) + d_a * rr
             )
             # Gradient gate: the max_alpha clamp and (hard mode) the
             # inside/cutoff mask kill dα→(power, opacity) flow.  In hard mode
@@ -290,29 +351,33 @@ def _bwd_kernel(
             d_qy = 2.0 * qy * d_power
             sum_dqx = jnp.sum(d_qx)
             sum_dqy = jnp.sum(d_qy)
-            dbuf[slot, 0, i] = -(ax * sum_dqx + bx * sum_dqy)
-            dbuf[slot, 1, i] = -(ay * sum_dqx + by * sum_dqy)
-            dbuf[slot, 2, i] = jnp.sum(d_qx * dx)
-            dbuf[slot, 3, i] = jnp.sum(d_qx * dy)
-            dbuf[slot, 4, i] = jnp.sum(d_qy * dx)
-            dbuf[slot, 5, i] = jnp.sum(d_qy * dy)
-            dbuf[slot, 6, i] = jnp.sum(dc_r * w_i)
-            dbuf[slot, 7, i] = jnp.sum(dc_g * w_i)
-            dbuf[slot, 8, i] = jnp.sum(dc_b * w_i)
-            dbuf[slot, 9, i] = jnp.sum(ga * exp_pow)
-            return t_i, s_r + r * w_i, s_g + g * w_i, s_b + b * w_i
+            dbuf[oslot, 0, i] = -(ax * sum_dqx + bx * sum_dqy)
+            dbuf[oslot, 1, i] = -(ay * sum_dqx + by * sum_dqy)
+            dbuf[oslot, 2, i] = jnp.sum(d_qx * dx)
+            dbuf[oslot, 3, i] = jnp.sum(d_qx * dy)
+            dbuf[oslot, 4, i] = jnp.sum(d_qy * dx)
+            dbuf[oslot, 5, i] = jnp.sum(d_qy * dy)
+            dbuf[oslot, 6, i] = jnp.sum(dc_r * w_i)
+            dbuf[oslot, 7, i] = jnp.sum(dc_g * w_i)
+            dbuf[oslot, 8, i] = jnp.sum(dc_b * w_i)
+            dbuf[oslot, 9, i] = jnp.sum(ga * exp_pow)
+            om = 1.0 - alpha
+            return (
+                r * alpha + om * sr,
+                g * alpha + om * sg,
+                b * alpha + om * sb,
+                om * rr,
+            )
 
-        t_run, s_r, s_g, s_b = jax.lax.fori_loop(
-            0, chunk, splat_body, (t_run, s_r, s_g, s_b)
-        )
-        dma_out(slot, ci).start()
-        return k + 1, t_run, s_r, s_g, s_b
+        sr, sg, sb, rr = jax.lax.fori_loop(0, chunk, splat_body, (sr, sg, sb, rr))
+        dma_out(oslot, ci).start()
+        return k + 1, sr, sg, sb, rr
 
     def cond(state):
         return state[0] < nused
 
     k, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), t_final, zeros, zeros, zeros)
+        cond, body, (jnp.int32(0), zeros, zeros, zeros, ones)
     )
     # Drain outstanding gradient writes.
     @pl.when(k >= 1)
@@ -365,11 +430,13 @@ def _build_kernels(nty: int, ntx: int, p_pad: int, cfg: RenderConfig, interpret:
         interpret=interpret,
     )
 
+    max_chunks = cfg.tile_capacity // chunk
     bwd_call = pl.pallas_call(
         functools.partial(
             _bwd_kernel,
             ntx=ntx,
             chunk=chunk,
+            max_chunks=max_chunks,
             max_alpha=cfg.max_alpha,
             soft_cutoff=cfg.soft_cutoff,
         ),
@@ -394,6 +461,8 @@ def _build_kernels(nty: int, ntx: int, p_pad: int, cfg: RenderConfig, interpret:
                 pltpu.SMEM((2, C_PAD, chunk), jnp.float32),
                 pltpu.SMEM((2, C_PAD, chunk), jnp.float32),
                 pltpu.VMEM((C_PAD, chunk), jnp.float32),
+                pltpu.VMEM((max_chunks, PACK_SUB, PACK_LANES), jnp.float32),
+                pltpu.VMEM((chunk, PACK_SUB, PACK_LANES), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA(()),

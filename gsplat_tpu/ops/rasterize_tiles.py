@@ -41,6 +41,33 @@ def sort_by_depth(p: ProjectedSplats) -> ProjectedSplats:
     return jax.tree.map(lambda a: a[order], p)
 
 
+def depth_order(splats: GaussianSplats, camera: Camera) -> jnp.ndarray:
+    """Ascending squared-camera-distance permutation over splats — the
+    reference's sort key (``src/GSplatRenderer.C:176-216``).  Exposed so an
+    interactive host (SceneRegistry) can cache the order and re-sort only
+    when the camera has moved enough, exactly like the reference's amortized
+    sort (``:165-174``)."""
+    to_point = splats.pos - camera.position
+    key = jnp.sum(to_point * to_point, axis=-1)
+    # behind-camera (clip_w ≤ 0) last, matching sanitize_projected's inf depth
+    view = camera.view
+    proj = camera.proj
+    view_pos = (
+        splats.pos[..., 0:1] * view[:3, 0]
+        + splats.pos[..., 1:2] * view[:3, 1]
+        + splats.pos[..., 2:3] * view[:3, 2]
+        + view[:3, 3]
+    )
+    clip_w = (
+        view_pos[..., 0] * proj[3, 0]
+        + view_pos[..., 1] * proj[3, 1]
+        + view_pos[..., 2] * proj[3, 2]
+        + proj[3, 3]
+    )
+    key = jnp.where(clip_w > 0.0, key, jnp.inf)
+    return jnp.argsort(key)
+
+
 def build_tile_lists(binned: BinnedPairs, num_tiles: int, capacity: int, n: int) -> jnp.ndarray:
     """Dense per-tile splat lists [T, K] (entries = depth-rank index, ``n`` =
     padded benign row).  Entries beyond a tile's capacity are dropped
@@ -133,10 +160,19 @@ def render_tiles(
     splats: GaussianSplats,
     camera: Camera,
     config: RenderConfig = RenderConfig(),
+    order: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """End-to-end tiled render.  Returns (H, W, 4) premultiplied RGBA."""
+    """End-to-end tiled render.  Returns (H, W, 4) premultiplied RGBA.
+
+    ``order``: optional precomputed depth permutation (see
+    :func:`depth_order`) — the amortized-sort path; recomputed when None.
+    """
     projected = project_splats(splats, camera, config.sh_order)
-    p = sort_by_depth(sanitize_projected(projected))
+    p = sanitize_projected(projected)
+    if order is None:
+        p = sort_by_depth(p)
+    else:
+        p = jax.tree.map(lambda a: a[order], p)
     binned = bin_splats(p, camera.width, camera.height, config)
     nty, ntx = tile_grid(camera.width, camera.height, config.tile_h, config.tile_w)
     lists = build_tile_lists(binned, nty * ntx, config.tile_capacity, p.count)

@@ -33,12 +33,20 @@ def render_pallas(
     camera: Camera,
     config: RenderConfig = RenderConfig(),
     interpret: bool = False,
+    order: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """Fused-kernel render.  Returns (H, W, 4) premultiplied RGBA."""
+    """Fused-kernel render.  Returns (H, W, 4) premultiplied RGBA.
+
+    ``order``: optional precomputed depth permutation (amortized sort).
+    """
     if config.tile_h != 32 or config.tile_w != 32:
         raise ValueError("pallas backend requires tile_h == tile_w == 32")
     projected = project_splats(splats, camera, config.sh_order)
-    p = sort_by_depth(sanitize_projected(projected))
+    p = sanitize_projected(projected)
+    if order is None:
+        p = sort_by_depth(p)
+    else:
+        p = jax.tree.map(lambda a: a[order], p)
     binned = bin_splats(p, camera.width, camera.height, config)
     nty, ntx = tile_grid(camera.width, camera.height, config.tile_h, config.tile_w)
 
