@@ -149,9 +149,9 @@ def load_ply(path, max_sh_degree: int = 3) -> GaussianSplats:
 
 def save_ply(path, splats: GaussianSplats) -> None:
     """Write a standard 3DGS PLY (inverse activations: logit/log)."""
-    import dataclasses
+    from ..models.splats import to_numpy_dict
 
-    arr = {f.name: np.asarray(getattr(splats, f.name)) for f in dataclasses.fields(splats)}
+    arr = to_numpy_dict(splats)  # per-splat (N, ·) row conventions
     n = arr["pos"].shape[0]
     op = np.clip(arr["opacity"].astype(np.float64), 1e-7, 1.0 - 1e-7)
     fields = (

@@ -28,6 +28,17 @@ import numpy as np
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Camera:
+    """Camera pytree.
+
+    Matrix leaves are **host (numpy) arrays by default**: a jitted function
+    that *closes over* a device array forces a device→host constant fetch
+    that (on the axon TPU runtime) permanently degrades dispatch latency for
+    the whole process.  Numpy leaves bake into the executable as literals
+    when closed over, and are device_put like any argument when passed as
+    jit args — both fast paths.  Traced/device cameras (e.g. built inside a
+    training step) work identically.
+    """
+
     view: jax.Array                    # (4, 4) world → view
     proj: jax.Array                    # (4, 4) view → clip
     width: int = dataclasses.field(metadata=dict(static=True))
@@ -36,7 +47,7 @@ class Camera:
     # (the reference's gsplat__explicit_camera_pos detail attribute,
     # src/GR_GSplat.C:277-282).  NaNs mean "derive from view matrix".
     explicit_camera_pos: jax.Array = dataclasses.field(
-        default_factory=lambda: jnp.full((3,), jnp.nan, dtype=jnp.float32)
+        default_factory=lambda: np.full((3,), np.nan, dtype=np.float32)
     )
 
     @property
@@ -91,8 +102,8 @@ def make_camera(
     far: float = 100.0,
 ) -> Camera:
     return Camera(
-        view=jnp.asarray(look_at(eye, target, up)),
-        proj=jnp.asarray(perspective(fov_y_deg, width, height, near, far)),
+        view=look_at(eye, target, up),
+        proj=perspective(fov_y_deg, width, height, near, far),
         width=int(width),
         height=int(height),
     )

@@ -8,15 +8,22 @@ table, a splat cluster is a JAX pytree of plain arrays — shardable with
 ``jax.sharding``, differentiable, and directly consumable by jitted render
 functions.
 
-Field conventions follow the reference's point-attribute convention
-(``src/GR_GSplat.C:233-372``):
+**Layout: transposed structure-of-arrays.**  TPU arrays are tiled (8, 128)
+over their last two dims, so a per-splat row layout like ``pos[N, 3]`` pads
+the 3-wide minor dim to 128 lanes (42× memory) and ``sh[N, 15, 3]`` pads to
+(16, 128) *per splat* (113× — 8 GB for 1M splats).  Storing components on
+the sublane axis and splats on the lane axis keeps everything dense:
 
-* ``pos``      (N, 3)  float32 — world positions (``P``).
-* ``orient``   (N, 4)  — quaternion in **xyzw** order (``orient``).
-* ``scale``    (N, 3)  — per-axis standard deviations (``scale``).
+* ``pos``      (3, N)  float32 — world positions (``P``).
+* ``orient``   (4, N)  — quaternion in **xyzw** component order (``orient``).
+* ``scale``    (3, N)  — per-axis standard deviations (``scale``).
 * ``opacity``  (N,)    — post-sigmoid opacity (``opacity`` | ``Alpha``).
-* ``color``    (N, 3)  — DC base color, ``sh0·SH_C0 + 0.5`` pre-baked (``Cd``).
-* ``sh``       (N, 15, 3) — band 1-3 SH coefficients, ``sh1..sh15`` order.
+* ``color``    (3, N)  — DC base color, ``sh0·SH_C0 + 0.5`` pre-baked (``Cd``).
+* ``sh``       (45, N) — band 1-3 SH coefficients; row ``3·j + c`` is
+  coefficient ``sh{j+1}`` channel ``c`` (``sh1.r, sh1.g, sh1.b, sh2.r, …``).
+
+Constructors accept the user-facing per-splat conventions ((N, 3) arrays,
+(N, 15, 3) SH — the reference's attribute shapes) and transpose host-side.
 
 Missing-attribute defaults mirror the reference's degrade-don't-crash policy
 (``src/GR_GSplat.C:309-312``): color (0,0,0), opacity 1, unit scale, identity
@@ -40,16 +47,16 @@ SH_REST_COEFFS = 15  # bands 1..3 (3DGS degree-3)
 class GaussianSplats:
     """A cluster of N Gaussian splats (the pytree analogue of one GSplat prim)."""
 
-    pos: jax.Array       # (N, 3)
-    orient: jax.Array    # (N, 4) xyzw
-    scale: jax.Array     # (N, 3)
+    pos: jax.Array       # (3, N)
+    orient: jax.Array    # (4, N) xyzw
+    scale: jax.Array     # (3, N)
     opacity: jax.Array   # (N,)
-    color: jax.Array     # (N, 3)
-    sh: jax.Array        # (N, 15, 3)
+    color: jax.Array     # (3, N)
+    sh: jax.Array        # (45, N)
 
     @property
     def count(self) -> int:
-        return self.pos.shape[0]
+        return self.pos.shape[-1]
 
     def astype(self, dtype) -> "GaussianSplats":
         """Cast all fields except positions (kept fp32, mirroring the
@@ -65,17 +72,16 @@ class GaussianSplats:
         )
 
     def validate(self) -> "GaussianSplats":
-        """Shape/dtype validation (the checking the reference SOP skips —
-        "Assume all points are good", ``src/GEO_GSplat.C:417-418`` — and that
-        the GR layer then has to error-log at extraction)."""
-        n = self.pos.shape[0]
+        """Shape validation (the checking the reference SOP skips — "Assume
+        all points are good", ``src/GEO_GSplat.C:417-418``)."""
+        n = self.pos.shape[-1]
         expect = {
-            "pos": (n, 3),
-            "orient": (n, 4),
-            "scale": (n, 3),
+            "pos": (3, n),
+            "orient": (4, n),
+            "scale": (3, n),
             "opacity": (n,),
-            "color": (n, 3),
-            "sh": (n, SH_REST_COEFFS, 3),
+            "color": (3, n),
+            "sh": (3 * SH_REST_COEFFS, n),
         }
         for name, shape in expect.items():
             got = getattr(self, name).shape
@@ -86,15 +92,54 @@ class GaussianSplats:
     def concat(self, other: "GaussianSplats") -> "GaussianSplats":
         """Concatenate two clusters (the reference's multi-detail aggregation,
         ``src/GSplatRenderer.C:420-447``)."""
-        return jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), self, other)
+        return jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=-1), self, other
+        )
 
     def barycenter(self) -> jax.Array:
-        """Mean position (``GEO_PrimGsplat::baryCenter``, ``src/GEO_GSplat.C:339-351``)."""
-        return jnp.mean(self.pos, axis=0)
+        """Mean position, (3,) (``GEO_PrimGsplat::baryCenter``,
+        ``src/GEO_GSplat.C:339-351``)."""
+        return jnp.mean(self.pos, axis=-1)
 
     def bbox(self):
-        """(min, max) corners (``getBBox``, ``src/GEO_GSplat.C:327-336``)."""
-        return jnp.min(self.pos, axis=0), jnp.max(self.pos, axis=0)
+        """(min, max) corners, each (3,) (``getBBox``, ``src/GEO_GSplat.C:327-336``)."""
+        return jnp.min(self.pos, axis=-1), jnp.max(self.pos, axis=-1)
+
+    # -------- user-facing per-splat views (row layouts; test/IO convenience)
+    @property
+    def pos_n3(self) -> jax.Array:
+        return self.pos.T
+
+    @property
+    def orient_n4(self) -> jax.Array:
+        return self.orient.T
+
+    @property
+    def scale_n3(self) -> jax.Array:
+        return self.scale.T
+
+    @property
+    def color_n3(self) -> jax.Array:
+        return self.color.T
+
+    @property
+    def sh_n153(self) -> jax.Array:
+        n = self.count
+        return self.sh.T.reshape(n, SH_REST_COEFFS, 3)
+
+
+def _to_soa(a, width, name, dtype) -> np.ndarray:
+    """(N, width) or (width, N) → (width, N), host-side."""
+    arr = np.asarray(a, dtype=dtype)
+    if arr.ndim != 2:
+        raise ValueError(f"{name}: expected 2-D, got {arr.shape}")
+    if arr.shape[0] == width and arr.shape[1] != width:
+        return arr
+    if arr.shape[1] == width:
+        return np.ascontiguousarray(arr.T)
+    if arr.shape[0] == width:  # ambiguous square-ish; assume already SoA
+        return arr
+    raise ValueError(f"{name}: expected (N, {width}) or ({width}, N), got {arr.shape}")
 
 
 def make_splats(
@@ -106,27 +151,42 @@ def make_splats(
     sh: Optional[Any] = None,
     dtype=jnp.float32,
 ) -> GaussianSplats:
-    """Build a validated :class:`GaussianSplats`, filling reference defaults
-    for missing attributes (``src/GR_GSplat.C:309-312``)."""
-    pos = jnp.asarray(pos, dtype=jnp.float32)
-    n = pos.shape[0]
+    """Build a validated :class:`GaussianSplats` from per-splat (N, ·) arrays
+    (or pre-transposed SoA), filling reference defaults for missing
+    attributes (``src/GR_GSplat.C:309-312``)."""
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    pos = _to_soa(pos, 3, "pos", np.float32)
+    n = pos.shape[-1]
     if orient is None:
-        orient = jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0], dtype=dtype), (n, 1))
-    if scale is None:
-        scale = jnp.ones((n, 3), dtype=dtype)
+        orient = np.zeros((4, n), np_dtype)
+        orient[3] = 1.0
+    else:
+        orient = _to_soa(orient, 4, "orient", np_dtype)
+    scale = np.ones((3, n), np_dtype) if scale is None else _to_soa(scale, 3, "scale", np_dtype)
     if opacity is None:
-        opacity = jnp.ones((n,), dtype=dtype)
-    if color is None:
-        color = jnp.zeros((n, 3), dtype=dtype)
+        opacity = np.ones((n,), np_dtype)
+    else:
+        opacity = np.asarray(opacity, dtype=np_dtype).reshape(n)
+    color = np.zeros((3, n), np_dtype) if color is None else _to_soa(color, 3, "color", np_dtype)
     if sh is None:
-        sh = jnp.zeros((n, SH_REST_COEFFS, 3), dtype=dtype)
+        sh = np.zeros((3 * SH_REST_COEFFS, n), np_dtype)
+    else:
+        sh_arr = np.asarray(sh, dtype=np_dtype)
+        if sh_arr.shape == (n, SH_REST_COEFFS, 3):
+            sh = np.ascontiguousarray(sh_arr.reshape(n, 3 * SH_REST_COEFFS).T)
+        elif sh_arr.shape == (3 * SH_REST_COEFFS, n):
+            sh = sh_arr
+        else:
+            raise ValueError(
+                f"sh: expected (N, 15, 3) or (45, N), got {sh_arr.shape}"
+            )
     return GaussianSplats(
-        pos=pos,
-        orient=jnp.asarray(orient, dtype=dtype),
-        scale=jnp.asarray(scale, dtype=dtype),
-        opacity=jnp.asarray(opacity, dtype=dtype).reshape(n),
-        color=jnp.asarray(color, dtype=dtype),
-        sh=jnp.asarray(sh, dtype=dtype),
+        pos=jnp.asarray(pos),
+        orient=jnp.asarray(orient),
+        scale=jnp.asarray(scale),
+        opacity=jnp.asarray(opacity),
+        color=jnp.asarray(color),
+        sh=jnp.asarray(sh),
     ).validate()
 
 
@@ -140,15 +200,30 @@ def random_splats(
 ) -> GaussianSplats:
     """Synthetic-scene generator for tests and benchmarks."""
     k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
-    pos = jax.random.uniform(k1, (n, 3), minval=-extent, maxval=extent)
-    quat = jax.random.normal(k2, (n, 4))
-    quat = quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
-    scale = jax.random.uniform(k3, (n, 3), minval=scale_range[0], maxval=scale_range[1])
+    pos = jax.random.uniform(k1, (3, n), minval=-extent, maxval=extent)
+    quat = jax.random.normal(k2, (4, n))
+    quat = quat / jnp.linalg.norm(quat, axis=0, keepdims=True)
+    scale = jax.random.uniform(k3, (3, n), minval=scale_range[0], maxval=scale_range[1])
     opacity = jax.random.uniform(k4, (n,), minval=0.3, maxval=1.0)
-    color = jax.random.uniform(k5, (n, 3), minval=0.0, maxval=1.0)
-    sh = sh_scale * jax.random.normal(k6, (n, SH_REST_COEFFS, 3))
-    return make_splats(pos, quat, scale, opacity, color, sh, dtype=dtype)
+    color = jax.random.uniform(k5, (3, n), minval=0.0, maxval=1.0)
+    sh = sh_scale * jax.random.normal(k6, (3 * SH_REST_COEFFS, n))
+    return GaussianSplats(
+        pos=pos.astype(jnp.float32),
+        orient=quat.astype(dtype),
+        scale=scale.astype(dtype),
+        opacity=opacity.astype(dtype),
+        color=color.astype(dtype),
+        sh=sh.astype(dtype),
+    ).validate()
 
 
 def to_numpy_dict(splats: GaussianSplats) -> Dict[str, np.ndarray]:
-    return {f.name: np.asarray(getattr(splats, f.name)) for f in dataclasses.fields(splats)}
+    """Per-splat (N, ·) numpy dict (user-facing row conventions)."""
+    return {
+        "pos": np.asarray(splats.pos_n3),
+        "orient": np.asarray(splats.orient_n4),
+        "scale": np.asarray(splats.scale_n3),
+        "opacity": np.asarray(splats.opacity),
+        "color": np.asarray(splats.color_n3),
+        "sh": np.asarray(splats.sh_n153),
+    }

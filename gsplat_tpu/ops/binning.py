@@ -3,17 +3,21 @@
 The reference draws every splat as a screen-space instanced quad and lets the
 GL rasterizer find covered pixels (``gsplat_plugin/src/GSplatRenderer.C:647``).
 A TPU has no rasterizer unit, so coverage is computed explicitly: the screen
-is cut into tiles (default 8×128 px = the VPU register shape) and each splat
-is expanded into one (tile, splat) pair per overlapped tile — the standard
-tile-binning of 3DGS, built here entirely from static-shape XLA primitives:
+is cut into tiles and each splat is expanded into one (tile, splat) pair per
+overlapped tile — the standard tile-binning of 3DGS, built here entirely from
+static-shape XLA primitives:
 
-  1. per-splat tile-bbox from the quad footprint (corners ±2·(v1±v2));
+  1. per-splat tile-bbox from the precomputed quad footprint half-extents
+     (``ops/projection.py`` rows 12-13; corners are center ± 2·(±v1 ± v2));
   2. pair offsets by exclusive cumsum; pair→splat lookup by ``searchsorted``
      over a fixed pair budget (ragged→static);
   3. one stable sort by tile id — splats are already in global depth order,
      so stability alone yields per-tile front-to-back order identical to the
      reference's single global sort (``src/GSplatRenderer.C:176-216``);
-  4. per-tile segment starts/counts by ``searchsorted``.
+  4. chunk-aligned re-layout: every tile's segment starts at a multiple of
+     ``config.chunk`` and is sentinel-padded to the next multiple, so the
+     Pallas kernels can DMA fixed-size chunks that never touch a
+     neighbouring tile's rows (the backward kernel *writes* chunk-wise).
 
 Overflow policy mirrors the reference's budget cull (2^23 splats, excess
 culled with a warning — ``src/GSplatRenderer.C:366-376``): pairs beyond the
@@ -30,46 +34,16 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.config import RenderConfig
-from .covariance import ALPHA_CUTOFF, QUAD_EXTENT
-from .projection import ProjectedSplats
-
-# Payload layout (structure-of-arrays, [C_PAYLOAD, N]): per-splat quantities
-# the compositor needs.  A = v1/|v1|², B = v2/|v2|² so that the quad-basis
-# coordinates of a pixel at offset d from the center are (d·A, d·B).
-PAYLOAD_CX = 0
-PAYLOAD_CY = 1
-PAYLOAD_AX = 2
-PAYLOAD_AY = 3
-PAYLOAD_BX = 4
-PAYLOAD_BY = 5
-PAYLOAD_R = 6
-PAYLOAD_G = 7
-PAYLOAD_B = 8
-PAYLOAD_OP = 9
-C_PAYLOAD = 10
-
-
-def splat_payload(p: ProjectedSplats) -> jnp.ndarray:
-    """Pack sanitized projected splats into the [C_PAYLOAD, N] SoA layout."""
-    l1sq = jnp.sum(p.v1 * p.v1, axis=-1)
-    l2sq = jnp.sum(p.v2 * p.v2, axis=-1)
-    a = p.v1 / l1sq[:, None]
-    b = p.v2 / l2sq[:, None]
-    return jnp.stack(
-        [
-            p.mean2d[:, 0],
-            p.mean2d[:, 1],
-            a[:, 0],
-            a[:, 1],
-            b[:, 0],
-            b[:, 1],
-            p.rgb[:, 0],
-            p.rgb[:, 1],
-            p.rgb[:, 2],
-            p.opacity,
-        ],
-        axis=0,
-    )
+from .covariance import ALPHA_CUTOFF
+from .projection import (
+    ROW_CX,
+    ROW_CY,
+    ROW_HX,
+    ROW_HY,
+    ROW_OP,
+    ROW_VALID,
+    ProjectedSplats,
+)
 
 
 @jax.tree_util.register_dataclass
@@ -78,16 +52,10 @@ class BinnedPairs:
     """Static-shape binning result.
 
     ``pair_splat[k]``: depth-rank index (into the sorted splat arrays) of the
-    k-th pair; pairs are grouped by tile (contiguous segments) and
-    front-to-back within each tile.  Invalid/padding pairs hold ``num_splats``
-    (a benign zero payload row).  ``tile_start/tile_count`` delimit each
-    tile's segment (count already capped at ``tile_capacity``).
-
-    Segments are **chunk-aligned**: every ``tile_start`` is a multiple of
-    ``config.chunk`` and segments are sentinel-padded up to the next multiple,
-    so the Pallas kernels can DMA fixed-size chunks that never touch a
-    neighbouring tile's rows (critical for the backward kernel, which *writes*
-    per-pair gradients chunk-wise).
+    k-th pair; pairs are grouped by tile (contiguous chunk-aligned segments)
+    and front-to-back within each tile.  Invalid/padding pairs hold
+    ``num_splats`` (a benign zero payload column).  ``tile_start/tile_count``
+    delimit each tile's segment (count already capped at ``tile_capacity``).
     """
 
     pair_splat: jax.Array    # (P_pad,) int32
@@ -124,6 +92,7 @@ def bin_splats(
     shifting splat coordinates (tile indices are offset by exact integer
     arithmetic, so strip binning is bit-identical to the full-frame bin).
     """
+    f = sorted_projected.fields
     n = sorted_projected.count
     nty, ntx = tile_grid(width, height, config.tile_h, config.tile_w)
     num_tiles = nty * ntx
@@ -131,28 +100,20 @@ def bin_splats(
     row_offset = jnp.asarray(row_offset, dtype=jnp.int32)
     y_base = (row_offset * config.tile_h).astype(jnp.float32)
 
-    mean = sorted_projected.mean2d
-    v1 = sorted_projected.v1
-    v2 = sorted_projected.v2
-
-    # Quad footprint bbox: corners are center ± 2·(±v1 ± v2)
-    # (GSplatShaderSource.h:185-187: quadPos ∈ [−2,2]²).
-    half_x = QUAD_EXTENT * (jnp.abs(v1[:, 0]) + jnp.abs(v2[:, 0]))
-    half_y = QUAD_EXTENT * (jnp.abs(v1[:, 1]) + jnp.abs(v2[:, 1]))
-    x_lo = mean[:, 0] - half_x
-    x_hi = mean[:, 0] + half_x
-    y_lo = mean[:, 1] - half_y
-    y_hi = mean[:, 1] + half_y
+    x_lo = f[ROW_CX] - f[ROW_HX]
+    x_hi = f[ROW_CX] + f[ROW_HX]
+    y_lo = f[ROW_CY] - f[ROW_HY]
+    y_hi = f[ROW_CY] + f[ROW_HY]
 
     # Cull: behind camera, fully offscreen, or opacity below the discard
     # threshold (the fragment shader would discard every covered pixel).
     cull = (
-        ~sorted_projected.valid
+        (f[ROW_VALID] < 0.5)
         | (x_hi < 0.0)
         | (y_hi < y_base)
         | (x_lo >= width)
         | (y_lo >= y_base + height)
-        | (sorted_projected.opacity < ALPHA_CUTOFF)
+        | (f[ROW_OP] < ALPHA_CUTOFF)
     )
 
     tw = float(config.tile_w)
@@ -203,7 +164,7 @@ def bin_splats(
     aligned_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_count).astype(jnp.int32)]
     )
-    # Rounded up to a chunk multiple so the transposed (C_PAD, P_pad) payload
+    # Rounded up to a chunk multiple so the transposed (16, P_pad) payload
     # has a 128-aligned minor dimension (Pallas HBM slice constraint).
     p_pad = -(-(budget + num_tiles * (chunk - 1) + chunk) // chunk) * chunk
     tile_safe = jnp.minimum(tile_sorted, num_tiles - 1)

@@ -512,10 +512,31 @@ def _composite_fwd(pair_payload, tile_start, tile_count, row_offset, nty, ntx, c
     return out, (pair_payload, tile_start, tile_count, row_offset, out, used)
 
 
+_DIFF_ROW_MASK = None
+
+
+def _diff_row_mask():
+    """(16, 1) mask of the differentiable payload rows (0..9).  The kernel
+    only writes gradient rows 0..9; rows 10..15 (depth/valid/extent metadata)
+    carry no compositing gradient and must be zeroed, not left as
+    uninitialized staging-buffer content."""
+    global _DIFF_ROW_MASK
+    if _DIFF_ROW_MASK is None:
+        import numpy as np
+
+        m = np.zeros((C_PAD, 1), np.float32)
+        m[:10] = 1.0
+        _DIFF_ROW_MASK = m
+    return _DIFF_ROW_MASK
+
+
 def _composite_bwd(nty, ntx, config, interpret, res, g):
     pair_payload, tile_start, tile_count, row_offset, out, used = res
     _, bwd_call = _build_kernels(nty, ntx, pair_payload.shape[1], config, interpret)
     d_payload = bwd_call(tile_start, tile_count, used, row_offset, pair_payload, out, g)
+    # where (not multiply): staging rows 10..15 may hold NaN in interpreter
+    # mode and NaN·0 = NaN.
+    d_payload = jnp.where(_diff_row_mask() > 0, d_payload, 0.0)
     return d_payload, None, None, None
 
 

@@ -27,50 +27,43 @@ from ..models.camera import Camera
 from ..models.splats import GaussianSplats
 from ..utils.config import RenderConfig
 from .covariance import ALPHA_CUTOFF, QUAD_EXTENT
-from .projection import ProjectedSplats, project_splats
+from .projection import (
+    N_FIELDS,
+    ROW_DEPTH,
+    ROW_VALID,
+    ProjectedSplats,
+    project_splats,
+)
+
+# Benign per-field replacement values for invalid (behind-camera) splats:
+# far-offscreen center, unit quad basis, zero color/opacity, +inf depth.
+_BENIGN = jnp.array(
+    [-1e7, -1e7, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, jnp.inf, 0.0, 0.0, 0.0, 0.0, 0.0],
+    dtype=jnp.float32,
+)
 
 
 def sanitize_projected(p: ProjectedSplats) -> ProjectedSplats:
-    """Replace payload of invalid (behind-camera) splats with benign values so
+    """Replace invalid (behind-camera) splats' payload with benign values so
     masked-out lanes can't contribute NaN/Inf to primals or gradients."""
-    v = p.valid
-    vcol = v[:, None]
-    far_off = jnp.float32(-1e7)
-    unit_x = jnp.array([1.0, 0.0], dtype=jnp.float32)
-    unit_y = jnp.array([0.0, 1.0], dtype=jnp.float32)
-    return ProjectedSplats(
-        mean2d=jnp.where(vcol, p.mean2d, far_off),
-        v1=jnp.where(vcol, p.v1, unit_x),
-        v2=jnp.where(vcol, p.v2, unit_y),
-        rgb=jnp.where(vcol, p.rgb, 0.0),
-        opacity=jnp.where(v, p.opacity, 0.0),
-        depth_sq=jnp.where(v, p.depth_sq, jnp.inf),
-        valid=v,
-    )
+    valid = p.fields[ROW_VALID : ROW_VALID + 1] > 0.5
+    fields = jnp.where(valid, p.fields, _BENIGN[:, None])
+    return ProjectedSplats(fields=fields)
 
 
 def splat_alpha_image(
-    mean2d: jnp.ndarray,
-    v1: jnp.ndarray,
-    v2: jnp.ndarray,
-    opacity: jnp.ndarray,
-    px: jnp.ndarray,
-    py: jnp.ndarray,
-    max_alpha: float,
-    soft_cutoff: bool = False,
-) -> jnp.ndarray:
+    cx, cy, ax, ay, bx, by, opacity, px, py, max_alpha, soft_cutoff=False
+):
     """Per-pixel alpha of one splat over a pixel grid.
 
-    ``px, py``: pixel-center coordinate grids of any matching shape.
-    With ``soft_cutoff=False`` applies the reference's quad-extent mask and
-    1/255 discard; with True the pure (smooth) Gaussian falloff.
+    (ax, ay) = v1/|v1|², (bx, by) = v2/|v2|² — the quad-basis rows, so
+    ``qx = d·A, qy = d·B``.  With ``soft_cutoff=False`` applies the
+    reference's quad-extent mask and 1/255 discard.
     """
-    dx = px - mean2d[0]
-    dy = py - mean2d[1]
-    l1sq = v1[0] * v1[0] + v1[1] * v1[1]
-    l2sq = v2[0] * v2[0] + v2[1] * v2[1]
-    qx = (dx * v1[0] + dy * v1[1]) / l1sq
-    qy = (dx * v2[0] + dy * v2[1]) / l2sq
+    dx = px - cx
+    dy = py - cy
+    qx = dx * ax + dy * ay
+    qy = dx * bx + dy * by
     power = qx * qx + qy * qy
     alpha = jnp.clip(jnp.exp(-power) * opacity, 0.0, max_alpha)
     if soft_cutoff:
@@ -89,26 +82,22 @@ def composite_reference(
     """Depth-sort + front-to-back composite.  Returns (H, W, 4) premultiplied
     RGBA (alpha channel = 1 − final transmittance)."""
     p = sanitize_projected(projected)
-    order = jnp.argsort(p.depth_sq)
-    mean2d = p.mean2d[order]
-    v1 = p.v1[order]
-    v2 = p.v2[order]
-    rgb = p.rgb[order]
-    opacity = p.opacity[order]
+    order = jnp.argsort(p.fields[ROW_DEPTH])
+    rows = p.fields[:, order].T  # (N, 16) — scan carries per-splat rows
 
     ys = (jnp.arange(height, dtype=jnp.float32) + 0.5)[:, None]
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5)[None, :]
     px = jnp.broadcast_to(xs, (height, width))
     py = jnp.broadcast_to(ys, (height, width))
 
-    def step(carry, splat):
+    def step(carry, row):
         color_acc, transmittance = carry
-        s_mean, s_v1, s_v2, s_rgb, s_op = splat
         alpha = splat_alpha_image(
-            s_mean, s_v1, s_v2, s_op, px, py, config.max_alpha, config.soft_cutoff
+            row[0], row[1], row[2], row[3], row[4], row[5], row[9],
+            px, py, config.max_alpha, config.soft_cutoff,
         )
         weight = alpha * transmittance
-        color_acc = color_acc + weight[..., None] * s_rgb
+        color_acc = color_acc + weight[..., None] * row[6:9]
         transmittance = transmittance * (1.0 - alpha)
         return (color_acc, transmittance), None
 
@@ -116,7 +105,7 @@ def composite_reference(
         jnp.zeros((height, width, 3), dtype=jnp.float32),
         jnp.ones((height, width), dtype=jnp.float32),
     )
-    (color, transmittance), _ = jax.lax.scan(step, init, (mean2d, v1, v2, rgb, opacity))
+    (color, transmittance), _ = jax.lax.scan(step, init, rows)
     return jnp.concatenate([color, (1.0 - transmittance)[..., None]], axis=-1)
 
 

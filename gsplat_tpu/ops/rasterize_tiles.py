@@ -14,31 +14,23 @@ fp32 tolerance whenever no pairs were dropped by the binning budget.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
 from ..models.camera import Camera
 from ..models.splats import GaussianSplats
 from ..utils.config import RenderConfig
-from .binning import (
-    C_PAYLOAD,
-    BinnedPairs,
-    bin_splats,
-    splat_payload,
-    tile_grid,
-)
+from .binning import BinnedPairs, bin_splats, tile_grid
 from .covariance import ALPHA_CUTOFF, QUAD_EXTENT
-from .projection import ProjectedSplats, project_splats
+from .projection import N_FIELDS, ROW_DEPTH, ProjectedSplats, project_splats
 from .rasterize_ref import sanitize_projected
 
 
 def sort_by_depth(p: ProjectedSplats) -> ProjectedSplats:
     """Global ascending-distance sort (``src/GSplatRenderer.C:176-216``);
     invalid splats (depth=inf after sanitize) go last."""
-    order = jnp.argsort(p.depth_sq)
-    return jax.tree.map(lambda a: a[order], p)
+    order = jnp.argsort(p.fields[ROW_DEPTH])
+    return ProjectedSplats(fields=p.fields[:, order])
 
 
 def depth_order(splats: GaussianSplats, camera: Camera) -> jnp.ndarray:
@@ -47,30 +39,26 @@ def depth_order(splats: GaussianSplats, camera: Camera) -> jnp.ndarray:
     interactive host (SceneRegistry) can cache the order and re-sort only
     when the camera has moved enough, exactly like the reference's amortized
     sort (``:165-174``)."""
-    to_point = splats.pos - camera.position
-    key = jnp.sum(to_point * to_point, axis=-1)
+    pos = splats.pos
+    cam_pos = camera.position
+    tx = pos[0] - cam_pos[0]
+    ty = pos[1] - cam_pos[1]
+    tz = pos[2] - cam_pos[2]
+    key = tx * tx + ty * ty + tz * tz
     # behind-camera (clip_w ≤ 0) last, matching sanitize_projected's inf depth
     view = camera.view
     proj = camera.proj
-    view_pos = (
-        splats.pos[..., 0:1] * view[:3, 0]
-        + splats.pos[..., 1:2] * view[:3, 1]
-        + splats.pos[..., 2:3] * view[:3, 2]
-        + view[:3, 3]
-    )
-    clip_w = (
-        view_pos[..., 0] * proj[3, 0]
-        + view_pos[..., 1] * proj[3, 1]
-        + view_pos[..., 2] * proj[3, 2]
-        + proj[3, 3]
-    )
+    vx = view[0, 0] * pos[0] + view[0, 1] * pos[1] + view[0, 2] * pos[2] + view[0, 3]
+    vy = view[1, 0] * pos[0] + view[1, 1] * pos[1] + view[1, 2] * pos[2] + view[1, 3]
+    vz = view[2, 0] * pos[0] + view[2, 1] * pos[1] + view[2, 2] * pos[2] + view[2, 3]
+    clip_w = proj[3, 0] * vx + proj[3, 1] * vy + proj[3, 2] * vz + proj[3, 3]
     key = jnp.where(clip_w > 0.0, key, jnp.inf)
     return jnp.argsort(key)
 
 
 def build_tile_lists(binned: BinnedPairs, num_tiles: int, capacity: int, n: int) -> jnp.ndarray:
     """Dense per-tile splat lists [T, K] (entries = depth-rank index, ``n`` =
-    padded benign row).  Entries beyond a tile's capacity are dropped
+    padded benign column).  Entries beyond a tile's capacity are dropped
     (farthest splats, consistent with the binning overflow policy)."""
     pos_in_tile = (
         jnp.arange(binned.pair_budget, dtype=jnp.int32)
@@ -95,8 +83,8 @@ def composite_tile_lists(
 
     Args:
       tile_lists: (T, K) int32 depth-rank indices, ``n`` sentinel for empty.
-      payload: (C_PAYLOAD, N) SoA from :func:`splat_payload` (NOT padded —
-        a benign zero row is appended here).
+      payload: (16, N) field matrix (``ops/projection.py`` row layout; NOT
+        padded — a benign zero column is appended here).
       width/height: screen size in pixels.
 
     Returns:
@@ -107,8 +95,8 @@ def composite_tile_lists(
     assert num_tiles == nty * ntx
     th, tw = config.tile_h, config.tile_w
 
-    # Benign padded row: opacity 0 → alpha 0 → no contribution.
-    pad = jnp.zeros((C_PAYLOAD, 1), dtype=payload.dtype)
+    # Benign padded column: opacity 0 → alpha 0 → no contribution.
+    pad = jnp.zeros((payload.shape[0], 1), dtype=payload.dtype)
     payload_p = jnp.concatenate([payload, pad], axis=1)
 
     # Per-tile pixel-center coordinates.  row_offset shifts into global
@@ -126,7 +114,7 @@ def composite_tile_lists(
 
     def step(carry, ids):
         color, transmittance = carry
-        f = payload_p[:, ids]  # (C, T)
+        f = payload_p[:, ids]  # (16, T)
         dx = px - f[0][:, None, None]
         dy = py - f[1][:, None, None]
         qx = dx * f[2][:, None, None] + dy * f[3][:, None, None]
@@ -172,9 +160,8 @@ def render_tiles(
     if order is None:
         p = sort_by_depth(p)
     else:
-        p = jax.tree.map(lambda a: a[order], p)
+        p = ProjectedSplats(fields=p.fields[:, order])
     binned = bin_splats(p, camera.width, camera.height, config)
     nty, ntx = tile_grid(camera.width, camera.height, config.tile_h, config.tile_w)
     lists = build_tile_lists(binned, nty * ntx, config.tile_capacity, p.count)
-    payload = splat_payload(p)
-    return composite_tile_lists(lists, payload, camera.width, camera.height, config)
+    return composite_tile_lists(lists, p.fields, camera.width, camera.height, config)

@@ -33,6 +33,7 @@ def render_wireframe(
 ) -> jnp.ndarray:
     """Render quad outlines.  Returns (H, W, 4); alpha 1 where a line covers."""
     p = sort_by_depth(sanitize_projected(project_splats(splats, camera, 0)))
+    rows = p.fields.T  # (N, 16)
 
     h, w = camera.height, camera.width
     ys = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None]
@@ -40,27 +41,25 @@ def render_wireframe(
     px = jnp.broadcast_to(xs, (h, w))
     py = jnp.broadcast_to(ys, (h, w))
 
-    def step(carry, splat):
+    def step(carry, row):
         color_acc, covered = carry
-        mean, v1, v2, rgb = splat
-        l1sq = v1[0] * v1[0] + v1[1] * v1[1]
-        l2sq = v2[0] * v2[0] + v2[1] * v2[1]
-        dx = px - mean[0]
-        dy = py - mean[1]
-        qx = (dx * v1[0] + dy * v1[1]) / l1sq
-        qy = (dx * v2[0] + dy * v2[1]) / l2sq
-        # band half-width in quad units so the line is ~line_px wide on screen
-        wq1 = line_px / jnp.sqrt(l1sq)
-        wq2 = line_px / jnp.sqrt(l2sq)
+        # quad-basis coords from A = v1/|v1|², B = v2/|v2|²: q = d·A, d·B
+        dx = px - row[0]
+        dy = py - row[1]
+        qx = dx * row[2] + dy * row[3]
+        qy = dx * row[4] + dy * row[5]
+        # |A| = 1/|v1| → band half-width in quad units for ~line_px on screen
+        wq1 = line_px * jnp.sqrt(row[2] ** 2 + row[3] ** 2)
+        wq2 = line_px * jnp.sqrt(row[4] ** 2 + row[5] ** 2)
         m = jnp.maximum(jnp.abs(qx), jnp.abs(qy))
         wq = jnp.where(jnp.abs(qx) > jnp.abs(qy), wq1, wq2)
         on_edge = (jnp.abs(m - QUAD_EXTENT) <= wq) & (m <= QUAD_EXTENT + wq)
         hit = on_edge & ~covered
-        color_acc = jnp.where(hit[..., None], rgb, color_acc)
+        color_acc = jnp.where(hit[..., None], row[6:9], color_acc)
         return (color_acc, covered | on_edge), None
 
     init = (jnp.zeros((h, w, 3), dtype=jnp.float32), jnp.zeros((h, w), dtype=bool))
-    (color, covered), _ = jax.lax.scan(step, init, (p.mean2d, p.v1, p.v2, p.rgb))
+    (color, covered), _ = jax.lax.scan(step, init, rows)
     alpha = covered.astype(jnp.float32)
     if background is not None:
         bg = jnp.asarray(background, jnp.float32)

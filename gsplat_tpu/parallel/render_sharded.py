@@ -34,9 +34,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.camera import Camera
 from ..models.splats import GaussianSplats
-from ..ops.binning import C_PAYLOAD, bin_splats, splat_payload, tile_grid
-from ..ops.pallas.composite import C_PAD, composite_pairs_pallas, unpack_image
-from ..ops.projection import project_splats
+from ..ops.binning import bin_splats, tile_grid
+from ..ops.pallas.composite import composite_pairs_pallas, unpack_image
+from ..ops.projection import ProjectedSplats, project_splats
 from ..ops.rasterize_ref import sanitize_projected
 from ..ops.rasterize_tiles import (
     build_tile_lists,
@@ -57,7 +57,7 @@ def pad_splats(splats: GaussianSplats, multiple: int) -> GaussianSplats:
     extra = n_pad - n
 
     def pad(x):
-        widths = [(0, extra)] + [(0, 0)] * (x.ndim - 1)
+        widths = [(0, 0)] * (x.ndim - 1) + [(0, extra)]
         return jnp.pad(x, widths)
 
     return GaussianSplats(
@@ -70,11 +70,26 @@ def pad_splats(splats: GaussianSplats, multiple: int) -> GaussianSplats:
     )
 
 
+def splat_sharding_spec(axis: str = SPLAT_AXIS) -> GaussianSplats:
+    """Per-leaf PartitionSpecs: the splat axis is the LAST dim of every
+    field (SoA layout: components × splats)."""
+    return GaussianSplats(
+        pos=P(None, axis),
+        orient=P(None, axis),
+        scale=P(None, axis),
+        opacity=P(axis),
+        color=P(None, axis),
+        sh=P(None, axis),
+    )
+
+
 def shard_splats(splats: GaussianSplats, mesh: Mesh, axis: str = SPLAT_AXIS) -> GaussianSplats:
-    """Pad + device_put with the leading dim sharded over ``axis``."""
+    """Pad + device_put with the splat (last) dim sharded over ``axis``."""
     padded = pad_splats(splats, mesh.shape[axis])
-    sharding = NamedSharding(mesh, P(axis))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), padded)
+    specs = splat_sharding_spec(axis)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), padded, specs
+    )
 
 
 def _render_strip(
@@ -97,9 +112,9 @@ def _render_strip(
     binned = bin_splats(p, width, strip_h, config, row_offset=row_offset)
     nty, ntx = tile_grid(width, strip_h, config.tile_h, config.tile_w)
     if backend == "pallas":
-        soa = splat_payload(p)
-        fields = jnp.zeros((C_PAD, p.count + 1), dtype=jnp.float32)
-        fields = fields.at[:C_PAYLOAD, :-1].set(soa)
+        fields = jnp.concatenate(
+            [p.fields, jnp.zeros((p.fields.shape[0], 1), jnp.float32)], axis=1
+        )
         pair_payload = fields[:, binned.pair_splat]
         packed = composite_pairs_pallas(
             pair_payload,
@@ -112,9 +127,8 @@ def _render_strip(
         )
         return unpack_image(packed, strip_h, width)
     lists = build_tile_lists(binned, nty * ntx, config.tile_capacity, p.count)
-    payload = splat_payload(p)
     return composite_tile_lists(
-        lists, payload, width, strip_h, config, row_offset=row_offset
+        lists, p.fields, width, strip_h, config, row_offset=row_offset
     )
 
 
@@ -141,18 +155,17 @@ def render_sharded(
     def local_fn(splats_local):
         projected = project_splats(splats_local, camera, config.sh_order)
         p = sanitize_projected(projected)
-        # Compact payload exchange: every device needs every projected splat.
-        p_full = jax.tree.map(
-            lambda x: jax.lax.all_gather(x, axis, tiled=True), p
-        )
-        p_sorted = sort_by_depth(p_full)  # identical permutation on all devices
+        # Compact payload exchange (one collective): every device needs every
+        # projected splat's (16,)-field column, never the raw parameters.
+        full = jax.lax.all_gather(p.fields, axis, axis=1, tiled=True)
+        p_sorted = sort_by_depth(ProjectedSplats(fields=full))
         di = jax.lax.axis_index(axis)
         row_offset = di * (strip_h // config.tile_h)
         return _render_strip(
             p_sorted, camera.width, strip_h, row_offset, config, backend
         )
 
-    in_specs = (P(axis),)
+    in_specs = (splat_sharding_spec(axis),)
     out_specs = P(axis)
     # check_vma=False: the compositing scan initializes its carry from
     # device-invariant constants, which the varying-axes checker rejects even

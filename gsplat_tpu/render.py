@@ -20,9 +20,9 @@ import jax.numpy as jnp
 
 from .models.camera import Camera
 from .models.splats import GaussianSplats
-from .ops.binning import C_PAYLOAD, bin_splats, splat_payload, tile_grid
-from .ops.pallas.composite import C_PAD, composite_pairs_pallas, unpack_image
-from .ops.projection import project_splats
+from .ops.binning import bin_splats, tile_grid
+from .ops.pallas.composite import composite_pairs_pallas, unpack_image
+from .ops.projection import ProjectedSplats, project_splats
 from .ops.rasterize_ref import render_reference, sanitize_projected
 from .ops.rasterize_tiles import render_tiles, sort_by_depth
 from .utils.config import RenderConfig
@@ -46,17 +46,17 @@ def render_pallas(
     if order is None:
         p = sort_by_depth(p)
     else:
-        p = jax.tree.map(lambda a: a[order], p)
+        p = ProjectedSplats(fields=p.fields[:, order])
     binned = bin_splats(p, camera.width, camera.height, config)
     nty, ntx = tile_grid(camera.width, camera.height, config.tile_h, config.tile_w)
 
-    # Per-splat payload (C_PAD, N+1): SoA + a benign zero sentinel column +
-    # zero padding fields up to C_PAD.  Kept transposed (fields × pairs) so a
-    # 128-pair chunk is a perfectly tiled (16, 128) VMEM block in the kernel.
-    soa = splat_payload(p)  # (C_PAYLOAD, N)
-    fields = jnp.zeros((C_PAD, p.count + 1), dtype=jnp.float32)
-    fields = fields.at[:C_PAYLOAD, :-1].set(soa)
-    pair_payload = fields[:, binned.pair_splat]  # gather; transpose = scatter-add
+    # Pair payload (16, P_pad): the projected field matrix + a benign zero
+    # sentinel column, gathered into chunk-aligned per-tile segments.  The
+    # transpose of the gather is the per-splat scatter-add of gradients.
+    fields = jnp.concatenate(
+        [p.fields, jnp.zeros((p.fields.shape[0], 1), jnp.float32)], axis=1
+    )
+    pair_payload = fields[:, binned.pair_splat]
 
     packed = composite_pairs_pallas(
         pair_payload,

@@ -177,7 +177,7 @@ class SceneRegistry:
         # shared origin = mean of cluster barycenters (:403-418)
         barys = jnp.stack([s.barycenter() for s in chosen])
         origin = jnp.mean(barys, axis=0)
-        self._cached = dataclasses.replace(scene, pos=scene.pos - origin)
+        self._cached = dataclasses.replace(scene, pos=scene.pos - origin[:, None])
         self._origin = origin
         self._order = None  # geometry fresh → must re-sort (:179-186)
         self._built_generation = self._generation
@@ -188,7 +188,7 @@ class SceneRegistry:
         """Translate the camera into origin-relative coordinates (same math
         as the reference's GSplatOrigin uniform, better fp32 precision)."""
         origin = self._origin
-        view = camera.view
+        view = jnp.asarray(camera.view)
         new_view = view.at[:3, 3].set(view[:3, :3] @ origin + view[:3, 3])
         explicit = camera.explicit_camera_pos
         if self._explicit_camera_pos is not None:

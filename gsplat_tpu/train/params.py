@@ -9,6 +9,7 @@ Optimization runs in an unconstrained space (the same re-parameterization the
   * ``quat``           — unnormalized; normalized at use (unit constraint)
   * ``pos``, ``color``, ``sh`` — raw
 
+Same transposed SoA layout as :class:`GaussianSplats` (components × splats).
 Gradients flow through the activations into the unconstrained parameters.
 """
 
@@ -25,16 +26,16 @@ from ..models.splats import GaussianSplats
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SplatParams:
-    pos: jax.Array            # (N, 3)
-    quat: jax.Array           # (N, 4) xyzw, unnormalized
-    log_scale: jax.Array      # (N, 3)
+    pos: jax.Array            # (3, N)
+    quat: jax.Array           # (4, N) xyzw, unnormalized
+    log_scale: jax.Array      # (3, N)
     logit_opacity: jax.Array  # (N,)
-    color: jax.Array          # (N, 3)
-    sh: jax.Array             # (N, 15, 3)
+    color: jax.Array          # (3, N)
+    sh: jax.Array             # (45, N)
 
     @property
     def count(self) -> int:
-        return self.pos.shape[0]
+        return self.pos.shape[-1]
 
 
 def params_from_splats(splats: GaussianSplats, eps: float = 1e-6) -> SplatParams:
@@ -50,10 +51,10 @@ def params_from_splats(splats: GaussianSplats, eps: float = 1e-6) -> SplatParams
 
 
 def splats_from_params(params: SplatParams) -> GaussianSplats:
-    norm = jnp.linalg.norm(params.quat, axis=-1, keepdims=True)
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(params.quat * params.quat, axis=0, keepdims=True), 1e-24))
     return GaussianSplats(
         pos=params.pos,
-        orient=params.quat / jnp.maximum(norm, 1e-12),
+        orient=params.quat / norm,
         scale=jnp.exp(params.log_scale),
         opacity=jax.nn.sigmoid(params.logit_opacity),
         color=params.color,

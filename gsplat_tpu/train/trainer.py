@@ -22,7 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.camera import Camera
 from ..parallel.mesh import BATCH_AXIS, SPLAT_AXIS, pad_to_multiple
 from ..parallel.render_sharded import _render_strip
-from ..ops.projection import project_splats
+from ..ops.projection import ProjectedSplats, project_splats
 from ..ops.rasterize_ref import sanitize_projected
 from ..ops.rasterize_tiles import sort_by_depth
 from ..render import render
@@ -81,13 +81,14 @@ def make_train_step(
 
 
 def _params_spec(mesh_axis: str):
+    # SoA layout: the splat axis is the LAST dim of every field.
     return SplatParams(
-        pos=P(mesh_axis),
-        quat=P(mesh_axis),
-        log_scale=P(mesh_axis),
+        pos=P(None, mesh_axis),
+        quat=P(None, mesh_axis),
+        log_scale=P(None, mesh_axis),
         logit_opacity=P(mesh_axis),
-        color=P(mesh_axis),
-        sh=P(mesh_axis),
+        color=P(None, mesh_axis),
+        sh=P(None, mesh_axis),
     )
 
 
@@ -133,10 +134,8 @@ def make_sharded_train_step(
                     camera, view=views_l[b], proj=projs_l[b]
                 )
                 pr = sanitize_projected(project_splats(splats, cam_b, config.sh_order))
-                pr_full = jax.tree.map(
-                    lambda x: jax.lax.all_gather(x, SPLAT_AXIS, tiled=True), pr
-                )
-                pr_sorted = sort_by_depth(pr_full)
+                full = jax.lax.all_gather(pr.fields, SPLAT_AXIS, axis=1, tiled=True)
+                pr_sorted = sort_by_depth(ProjectedSplats(fields=full))
                 strip = _render_strip(
                     pr_sorted, camera.width, strip_h, row_offset, config, backend
                 )
@@ -159,10 +158,18 @@ def make_sharded_train_step(
     pspec = _params_spec(SPLAT_AXIS)
 
     def opt_spec_of(state):
+        # Adam moments mirror the param shapes: (C, N) 2-D leaves shard the
+        # last (splat) dim; (N,) 1-D leaves shard dim 0; scalars replicate.
+        def spec(x):
+            nd = getattr(x, "ndim", 0)
+            if nd >= 2:
+                return P(*([None] * (nd - 1) + [SPLAT_AXIS]))
+            if nd == 1:
+                return P(SPLAT_AXIS)
+            return P()
+
         return jax.tree.map(
-            lambda x: P(SPLAT_AXIS) if getattr(x, "ndim", 0) > 0 else P(),
-            state,
-            is_leaf=lambda x: isinstance(x, jax.Array) or hasattr(x, "ndim"),
+            spec, state, is_leaf=lambda x: isinstance(x, jax.Array) or hasattr(x, "ndim")
         )
 
     def step(params, opt_state, views, projs, targets):
@@ -188,13 +195,13 @@ def shard_params(params: SplatParams, mesh: Mesh) -> SplatParams:
         extra = n_pad - n
 
         def pad(x):
-            widths = [(0, extra)] + [(0, 0)] * (x.ndim - 1)
+            widths = [(0, 0)] * (x.ndim - 1) + [(0, extra)]
             return jnp.pad(x, widths)
 
         # padded splats: logit_opacity −20 → opacity ≈ 0 → culled at binning
         params = SplatParams(
             pos=pad(params.pos),
-            quat=pad(params.quat).at[n:, 3].set(1.0),
+            quat=pad(params.quat).at[3, n:].set(1.0),
             log_scale=pad(params.log_scale),
             logit_opacity=jnp.concatenate(
                 [params.logit_opacity, jnp.full((extra,), -20.0, params.logit_opacity.dtype)]
@@ -202,5 +209,7 @@ def shard_params(params: SplatParams, mesh: Mesh) -> SplatParams:
             color=pad(params.color),
             sh=pad(params.sh),
         )
-    sharding = NamedSharding(mesh, P(SPLAT_AXIS))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), params)
+    specs = _params_spec(SPLAT_AXIS)
+    return jax.tree.map(
+        lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), params, specs
+    )

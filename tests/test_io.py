@@ -54,12 +54,12 @@ class TestPly:
             f.write(rec.tobytes())
 
         s = load_ply(path)
-        np.testing.assert_allclose(np.asarray(s.pos)[0], [1, 2, 3])
+        np.testing.assert_allclose(np.asarray(s.pos_n3)[0], [1, 2, 3])
         np.testing.assert_allclose(np.asarray(s.opacity)[0], 0.5)
-        np.testing.assert_allclose(np.asarray(s.scale)[0], [1, 1, 1])
+        np.testing.assert_allclose(np.asarray(s.scale_n3)[0], [1, 1, 1])
         # (w=2,x,y,z=0) normalized → orient xyzw = (0,0,0,1)
-        np.testing.assert_allclose(np.asarray(s.orient)[0], [0, 0, 0, 1])
-        np.testing.assert_allclose(np.asarray(s.color)[0], [SH_C0 + 0.5, 0.5, 0.5], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(s.orient_n4)[0], [0, 0, 0, 1])
+        np.testing.assert_allclose(np.asarray(s.color_n3)[0], [SH_C0 + 0.5, 0.5, 0.5], rtol=1e-6)
 
     def test_raw_reader_rejects_garbage(self, tmp_path):
         p = tmp_path / "bad.ply"
@@ -92,7 +92,7 @@ class TestAttributes:
         np.testing.assert_allclose(np.asarray(s.color), 0.0)
         np.testing.assert_allclose(np.asarray(s.opacity), 1.0)
         np.testing.assert_allclose(np.asarray(s.scale), 1.0)
-        np.testing.assert_allclose(np.asarray(s.orient), np.tile([0, 0, 0, 1.0], (3, 1)))
+        np.testing.assert_allclose(np.asarray(s.orient_n4), np.tile([0, 0, 0, 1.0], (3, 1)))
 
     def test_sh_three_conventions_agree(self):
         n = 5

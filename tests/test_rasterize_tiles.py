@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from gsplat_tpu import RenderConfig, make_camera, make_splats, random_splats, render_reference
-from gsplat_tpu.ops.binning import bin_splats, splat_payload, tile_grid
+from gsplat_tpu.ops.binning import bin_splats, tile_grid
 from gsplat_tpu.ops.projection import project_splats
 from gsplat_tpu.ops.rasterize_ref import sanitize_projected
 from gsplat_tpu.ops.rasterize_tiles import render_tiles, sort_by_depth

@@ -128,7 +128,7 @@ class TestRegistry:
         # change the image (same math, translated camera)
         far = jnp.array([100.0, -50.0, 80.0])
         base = random_splats(jax.random.PRNGKey(0), 40, extent=0.5)
-        shifted = dataclasses.replace(base, pos=base.pos + far)
+        shifted = dataclasses.replace(base, pos=base.pos + far[:, None])
         eye = np.asarray([0.1, 0.3, 2.5]) + np.asarray(far)
         tgt = np.asarray(far)
         cam = make_camera(eye, tgt, 48, 48)

@@ -65,9 +65,9 @@ class TestFit:
 
         perturbed = dataclasses.replace(
             target_splats,
-            pos=target_splats.pos + 0.05 * jax.random.normal(jax.random.PRNGKey(1), (32, 3)),
+            pos=target_splats.pos + 0.05 * jax.random.normal(jax.random.PRNGKey(1), (3, 32)),
             color=jnp.clip(
-                target_splats.color + 0.3 * jax.random.normal(jax.random.PRNGKey(2), (32, 3)),
+                target_splats.color + 0.3 * jax.random.normal(jax.random.PRNGKey(2), (3, 32)),
                 0.0, 1.0,
             ),
         )
@@ -106,7 +106,7 @@ class TestShardedTrain:
         # start from a perturbed scene so loss/grads are O(1), not float noise
         perturbed = dataclasses.replace(
             splats,
-            pos=splats.pos + 0.04 * jax.random.normal(jax.random.PRNGKey(9), (64, 3)),
+            pos=splats.pos + 0.04 * jax.random.normal(jax.random.PRNGKey(9), (3, 64)),
         )
         params = params_from_splats(perturbed)
 

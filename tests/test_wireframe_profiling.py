@@ -28,7 +28,7 @@ class TestWireframe:
     def test_nearest_wins(self):
         splats = make_splats(
             pos=[[0.0, 0.0, 1.0], [0.0, 0.0, -1.0]],
-            scale=[[0.3] * 3, [0.43] * 3],  # sized so outlines overlap on screen
+            scale=[[0.2] * 3, [0.3] * 3],  # both outlines inside the frame
             opacity=[1.0, 1.0],
             color=[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
         )
