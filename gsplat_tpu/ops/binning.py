@@ -129,12 +129,23 @@ def bin_splats(
     # Ragged → static: pair k belongs to the splat whose inclusive-cumsum
     # first exceeds k.  Splats are depth-sorted, so truncation at the budget
     # drops only the farthest splats' pairs.
+    #
+    # Computed via scatter-max of (splat_id+1) at each splat's offset followed
+    # by a cummax — two linear passes.  (A searchsorted here lowers to ~17
+    # binary-search rounds of 800k-wide gathers on TPU — ~100 ms at 100k
+    # splats, 30× the entire rest of the frame.)  Zero-count splats share
+    # their offset with the next non-empty splat, whose larger id wins the
+    # max, so the mapping lands on the owning splat.
     cum = jnp.cumsum(counts)
     total = cum[-1] if n > 0 else jnp.int32(0)
     offsets = cum - counts
     pair_idx = jnp.arange(budget, dtype=jnp.int32)
-    s = jnp.searchsorted(cum, pair_idx, side="right").astype(jnp.int32)
-    s_safe = jnp.minimum(s, n - 1)
+    splat_ids = jnp.arange(n, dtype=jnp.int32)
+    marks = jnp.zeros((budget,), jnp.int32).at[offsets].max(
+        splat_ids + 1, mode="drop"
+    )
+    s_safe = jnp.minimum(jax.lax.cummax(marks) - 1, n - 1)
+    s_safe = jnp.maximum(s_safe, 0)
     r = pair_idx - offsets[s_safe]
     nx_s = jnp.maximum(nx[s_safe], 1)
     dty = r // nx_s

@@ -37,9 +37,14 @@ from .projection import (
 
 # Benign per-field replacement values for invalid (behind-camera) splats:
 # far-offscreen center, unit quad basis, zero color/opacity, +inf depth.
-_BENIGN = jnp.array(
-    [-1e7, -1e7, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, jnp.inf, 0.0, 0.0, 0.0, 0.0, 0.0],
-    dtype=jnp.float32,
+# NUMPY, not jnp: a module-level device array closed over by a jitted
+# function permanently degrades dispatch on the axon runtime (see
+# models/camera.py docstring).
+import numpy as _np
+
+_BENIGN = _np.array(
+    [-1e7, -1e7, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, _np.inf, 0.0, 0.0, 0.0, 0.0, 0.0],
+    dtype=_np.float32,
 )
 
 
