@@ -43,29 +43,37 @@ def main():
     if backend == "auto":
         backend = "pallas" if jax.default_backend() != "cpu" else "tiles"
 
-    def fwd(s):
-        return gt.render(s, cam, cfg, backend=backend)
+    def fwd(s, c):
+        return gt.render(s, c, cfg, backend=backend)
 
-    def fwd_bwd(s):
+    def fwd_bwd(s, c):
         def loss(s_):
-            return jnp.sum(fwd(s_)[..., :3])
+            return jnp.sum(fwd(s_, c)[..., :3])
 
         return jax.grad(loss)(s)
 
     fn = jax.jit(fwd if args.fwd_only else fwd_bwd)
 
-    def run_once():
-        out = fn(splats)
-        jax.block_until_ready(out)
+    def probe(r):
+        # scalar host readback forces the whole queued chain to execute
+        # (block_until_ready does not reliably block on the axon backend)
+        acc = jnp.float32(0)
+        for leaf in jax.tree.leaves(r):
+            acc = acc + leaf.reshape(-1)[0].astype(jnp.float32)
+        return float(acc)
 
     try:
+        probe(fn(splats, cam))  # compile
         for _ in range(args.warmup):
-            run_once()
+            r = fn(splats, cam)
+        probe(r)
         times = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
-            run_once()
-            times.append(time.perf_counter() - t0)
+            for _ in range(3):
+                r = fn(splats, cam)
+            probe(r)
+            times.append((time.perf_counter() - t0) / 3)
         dt = statistics.median(times)
         fps = 1.0 / dt
     except Exception as e:  # report failure as a parseable result

@@ -12,17 +12,23 @@ See SURVEY.md for the structural analysis of the reference this was built to.
 
 from .version import __version__
 from .models.camera import Camera, make_camera, look_at, perspective
-from .models.splats import GaussianSplats, make_splats, random_splats
+from .models.splats import GaussianSplats, make_splats, random_splats, to_numpy_dict
 from .utils.config import RenderConfig
 from .ops.projection import ProjectedSplats, project_splats
 from .ops.rasterize_ref import render_reference
-from .ops.rasterize_tiles import render_tiles
+from .ops.rasterize_tiles import depth_order, render_tiles
+from .ops.wireframe import render_wireframe
 from .render import render, render_pallas
+from .scene import SceneRegistry
+from .io.ply import load_ply, save_ply
+from .io.attributes import splats_from_attributes
 
 __all__ = [
     "render",
     "render_pallas",
     "render_tiles",
+    "render_reference",
+    "render_wireframe",
     "__version__",
     "Camera",
     "make_camera",
@@ -31,8 +37,13 @@ __all__ = [
     "GaussianSplats",
     "make_splats",
     "random_splats",
+    "to_numpy_dict",
     "RenderConfig",
     "ProjectedSplats",
     "project_splats",
-    "render_reference",
+    "depth_order",
+    "SceneRegistry",
+    "load_ply",
+    "save_ply",
+    "splats_from_attributes",
 ]

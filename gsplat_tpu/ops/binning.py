@@ -59,7 +59,7 @@ class BinnedPairs:
     """
 
     pair_splat: jax.Array    # (P_pad,) int32
-    pair_tile: jax.Array     # (P_pad,) int32 (num_tiles = invalid sentinel)
+    pair_tile: jax.Array     # (P_pad,) int32 (num_tiles = sentinel); None unless with_tiles
     tile_start: jax.Array    # (T,) int32 — chunk-aligned
     tile_count: jax.Array    # (T,) int32 — real (un-padded) per-tile count
     dropped_pairs: jax.Array  # () int32 — budget + capacity overflow
@@ -80,6 +80,7 @@ def bin_splats(
     height: int,
     config: RenderConfig,
     row_offset=0,
+    with_tiles: bool = True,
 ) -> BinnedPairs:
     """Bin depth-sorted, sanitized projected splats into tiles.
 
@@ -148,7 +149,11 @@ def bin_splats(
     s_safe = jnp.maximum(s_safe, 0)
     r = pair_idx - offsets[s_safe]
     nx_s = jnp.maximum(nx[s_safe], 1)
-    dty = r // nx_s
+    # r // nx via correctly-rounded f32 division: TPU has no integer divide
+    # (it lowers to a long emulation sequence); r and nx are small (< 2^24)
+    # so the f32 quotient is exact enough for floor (3/3 = 1.0 exactly —
+    # do NOT use reciprocal-multiply here, 3·(1/3) rounds below 1).
+    dty = jnp.floor(r.astype(jnp.float32) / nx_s.astype(jnp.float32)).astype(jnp.int32)
     dtx = r - dty * nx_s
     tile = (ty0[s_safe] + dty) * ntx + (tx0[s_safe] + dtx)
     pair_valid = pair_idx < jnp.minimum(total, budget)
@@ -185,9 +190,13 @@ def bin_splats(
     pair_splat = jnp.full((p_pad,), n, dtype=jnp.int32).at[dest].set(
         splat_sorted, mode="drop"
     )
-    pair_tile = jnp.full((p_pad,), num_tiles, dtype=jnp.int32).at[dest].set(
-        tile_sorted, mode="drop"
-    )
+    # pair_tile is only needed by the dense-tile-list (XLA) backend and
+    # debugging; the Pallas path skips this second scatter.
+    pair_tile = None
+    if with_tiles:
+        pair_tile = jnp.full((p_pad,), num_tiles, dtype=jnp.int32).at[dest].set(
+            tile_sorted, mode="drop"
+        )
 
     dropped = jnp.maximum(total - budget, 0) + jnp.sum(raw_count - tile_count)
     return BinnedPairs(

@@ -44,6 +44,7 @@ TILE = 32          # logical pixel tile is TILE×TILE
 PACK_SUB = 8       # sublanes
 PACK_LANES = 128   # lanes; TILE*TILE == PACK_SUB*PACK_LANES
 C_PAD = 16         # padded payload field count (10 used — see ops/binning.py)
+UNROLL = 4         # forward compositing loop unroll (must divide chunk)
 
 
 def _pixel_coords(ty, tx):
@@ -75,10 +76,14 @@ def _splat_alpha(buf, slot, i, px, py, max_alpha, soft_cutoff):
     dy = py - cy
     qx = dx * ax + dy * ay
     qy = dx * bx + dy * by
-    power = qx * qx + qy * qy
+    qx2 = qx * qx
+    qy2 = qy * qy
+    power = qx2 + qy2
     alpha = jnp.minimum(jnp.exp(-power) * op, max_alpha)
     if not soft_cutoff:
-        inside = (jnp.abs(qx) <= QUAD_EXTENT) & (jnp.abs(qy) <= QUAD_EXTENT)
+        # |q| ≤ 2 ⟺ q² ≤ 4 (exact in f32; reuses the power operands)
+        ext2 = QUAD_EXTENT * QUAD_EXTENT
+        inside = (qx2 <= ext2) & (qy2 <= ext2)
         alpha = jnp.where(inside & (alpha >= ALPHA_CUTOFF), alpha, 0.0)
     return alpha, qx, qy, dx, dy, op
 
@@ -137,17 +142,33 @@ def _fwd_kernel(
 
         dma(slot, ci).wait()
 
-        def splat_body(i, s):
+        # Unrolled by UNROLL splats per iteration: the per-splat alpha math
+        # is independent (ILP for the VPU, batched SMEM scalar loads for the
+        # scalar unit); only the transmittance products chain — in exact
+        # sequential order, one multiply per splat, so results are
+        # bit-identical to the scalar loop.
+        def splat_body(k, s):
             acc_r, acc_g, acc_b, t_cur = s
-            alpha, _, _, _, _, _ = _splat_alpha(buf, slot, i, px, py, max_alpha, soft_cutoff)
-            w = alpha * t_cur
-            acc_r = acc_r + w * buf[slot, 6, i]
-            acc_g = acc_g + w * buf[slot, 7, i]
-            acc_b = acc_b + w * buf[slot, 8, i]
-            return acc_r, acc_g, acc_b, t_cur * (1.0 - alpha)
+            i0 = k * UNROLL
+            alphas = [
+                _splat_alpha(buf, slot, i0 + u, px, py, max_alpha, soft_cutoff)[0]
+                for u in range(UNROLL)
+            ]
+            prefixes = []
+            t_run = t_cur
+            for u in range(UNROLL):
+                prefixes.append(t_run)
+                t_run = t_run * (1.0 - alphas[u])
+            for u in range(UNROLL):
+                i = i0 + u
+                w = alphas[u] * prefixes[u]
+                acc_r = acc_r + w * buf[slot, 6, i]
+                acc_g = acc_g + w * buf[slot, 7, i]
+                acc_b = acc_b + w * buf[slot, 8, i]
+            return acc_r, acc_g, acc_b, t_run
 
         acc_r, acc_g, acc_b, t_cur = jax.lax.fori_loop(
-            0, chunk, splat_body, (acc_r, acc_g, acc_b, t_cur)
+            0, chunk // UNROLL, splat_body, (acc_r, acc_g, acc_b, t_cur)
         )
         alive = jnp.max(t_cur) > t_eps
         return ci + 1, alive, acc_r, acc_g, acc_b, t_cur

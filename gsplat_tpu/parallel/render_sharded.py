@@ -109,7 +109,10 @@ def _render_strip(
     rows of a full-frame render.
     """
     p = projected_sorted
-    binned = bin_splats(p, width, strip_h, config, row_offset=row_offset)
+    binned = bin_splats(
+        p, width, strip_h, config, row_offset=row_offset,
+        with_tiles=(backend != "pallas"),
+    )
     nty, ntx = tile_grid(width, strip_h, config.tile_h, config.tile_w)
     if backend == "pallas":
         fields = jnp.concatenate(

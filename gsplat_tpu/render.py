@@ -47,7 +47,7 @@ def render_pallas(
         p = sort_by_depth(p)
     else:
         p = ProjectedSplats(fields=p.fields[:, order])
-    binned = bin_splats(p, camera.width, camera.height, config)
+    binned = bin_splats(p, camera.width, camera.height, config, with_tiles=False)
     nty, ntx = tile_grid(camera.width, camera.height, config.tile_h, config.tile_w)
 
     # Pair payload (16, P_pad): the projected field matrix + a benign zero

@@ -29,7 +29,7 @@ class RenderConfig:
     # Per-splat cap on tiles covered when building (tile, splat) pairs; splats
     # covering more tiles than fit the pair budget are truncated (analogue of
     # the reference's 2^23 global budget cull, src/GSplatRenderer.C:366-376).
-    pairs_per_splat: float = 8.0
+    pairs_per_splat: float = 4.0
 
     # Per-tile cap on composited splats (front-to-back; overflow beyond the
     # cap drops the *farthest* splats, which the early-stop would likely have
