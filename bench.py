@@ -37,7 +37,7 @@ def main():
     cam = gt.make_camera(
         eye=[0.0, 0.4, 3.0], target=[0, 0, 0], width=args.width, height=args.height
     )
-    cfg = gt.RenderConfig(pairs_per_splat=8.0)
+    cfg = gt.RenderConfig()
 
     backend = args.backend
     if backend == "auto":

@@ -295,13 +295,17 @@ def _bwd_kernel(
         dma_in(slot, ci).wait()
         tstart[ci] = t_cur
 
-        def splat_body(i, t_c):
-            alpha, _, _, _, _, _ = _splat_alpha(
-                buf, slot, i, px, py, max_alpha, soft_cutoff
-            )
-            return t_c * (1.0 - alpha)
+        def splat_body(k, t_c):
+            i0 = k * UNROLL
+            alphas = [
+                _splat_alpha(buf, slot, i0 + u, px, py, max_alpha, soft_cutoff)[0]
+                for u in range(UNROLL)
+            ]
+            for u in range(UNROLL):
+                t_c = t_c * (1.0 - alphas[u])
+            return t_c
 
-        return jax.lax.fori_loop(0, chunk, splat_body, t_cur)
+        return jax.lax.fori_loop(0, chunk // UNROLL, splat_body, t_cur)
 
     jax.lax.fori_loop(0, nused, p1_body, ones)
 
@@ -329,17 +333,26 @@ def _bwd_kernel(
             dma_out(oslot, nused - 1 - (k - 2)).wait()
 
         # exact forward T replay within this chunk (same ops as fwd kernel)
-        def fill_body(i, t_c):
-            tsplat[i] = t_c
-            alpha, _, _, _, _, _ = _splat_alpha(
-                buf, slot, i, px, py, max_alpha, soft_cutoff
-            )
-            return t_c * (1.0 - alpha)
+        def fill_body(k, t_c):
+            i0 = k * UNROLL
+            alphas = [
+                _splat_alpha(buf, slot, i0 + u, px, py, max_alpha, soft_cutoff)[0]
+                for u in range(UNROLL)
+            ]
+            for u in range(UNROLL):
+                tsplat[i0 + u] = t_c
+                t_c = t_c * (1.0 - alphas[u])
+            return t_c
 
-        jax.lax.fori_loop(0, chunk, fill_body, tstart[ci])
+        jax.lax.fori_loop(0, chunk // UNROLL, fill_body, tstart[ci])
 
-        def splat_body(j, s):
-            i = chunk - 1 - j
+        def splat_body(jk, s):
+            for u in range(UNROLL):
+                i = chunk - 1 - (jk * UNROLL + u)
+                s = _grad_one(s, i)
+            return s
+
+        def _grad_one(s, i):
             sr, sg, sb, rr = s
             alpha, qx, qy, dx, dy, op = _splat_alpha(
                 buf, slot, i, px, py, max_alpha, soft_cutoff
@@ -390,7 +403,9 @@ def _bwd_kernel(
                 om * rr,
             )
 
-        sr, sg, sb, rr = jax.lax.fori_loop(0, chunk, splat_body, (sr, sg, sb, rr))
+        sr, sg, sb, rr = jax.lax.fori_loop(
+            0, chunk // UNROLL, splat_body, (sr, sg, sb, rr)
+        )
         dma_out(oslot, ci).start()
         return k + 1, sr, sg, sb, rr
 
