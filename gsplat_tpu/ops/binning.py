@@ -56,6 +56,13 @@ class BinnedPairs:
     and front-to-back within each tile.  Invalid/padding pairs hold
     ``num_splats`` (a benign zero payload column).  ``tile_start/tile_count``
     delimit each tile's segment (count already capped at ``tile_capacity``).
+
+    With ``with_grad_map=True`` the expansion-order gradient map is also
+    produced (see ``ops/pair_gather.py``): ``dest_of_exp[j]`` is the payload
+    column of expansion pair j (``p_pad`` if dropped), and
+    ``exp_offsets/exp_counts`` delimit each splat's contiguous pair segment
+    in expansion order — the pieces the custom VJP needs to segment-reduce
+    per-pair gradients back to per-splat gradients without a scatter-add.
     """
 
     pair_splat: jax.Array    # (P_pad,) int32
@@ -63,6 +70,9 @@ class BinnedPairs:
     tile_start: jax.Array    # (T,) int32 — chunk-aligned
     tile_count: jax.Array    # (T,) int32 — real (un-padded) per-tile count
     dropped_pairs: jax.Array  # () int32 — budget + capacity overflow
+    dest_of_exp: jax.Array = None   # (budget,) int32; None unless with_grad_map
+    exp_offsets: jax.Array = None   # (N,) int32; None unless with_grad_map
+    exp_counts: jax.Array = None    # (N,) int32; None unless with_grad_map
 
     @property
     def pair_budget(self) -> int:
@@ -81,6 +91,7 @@ def bin_splats(
     config: RenderConfig,
     row_offset=0,
     with_tiles: bool = True,
+    with_grad_map: bool = False,
 ) -> BinnedPairs:
     """Bin depth-sorted, sanitized projected splats into tiles.
 
@@ -138,7 +149,7 @@ def bin_splats(
     # their offset with the next non-empty splat, whose larger id wins the
     # max, so the mapping lands on the owning splat.
     cum = jnp.cumsum(counts)
-    total = cum[-1] if n > 0 else jnp.int32(0)
+    total = jnp.minimum(cum[-1] if n > 0 else jnp.int32(0), budget)
     offsets = cum - counts
     pair_idx = jnp.arange(budget, dtype=jnp.int32)
     splat_ids = jnp.arange(n, dtype=jnp.int32)
@@ -147,26 +158,39 @@ def bin_splats(
     )
     s_safe = jnp.minimum(jax.lax.cummax(marks) - 1, n - 1)
     s_safe = jnp.maximum(s_safe, 0)
-    r = pair_idx - offsets[s_safe]
-    nx_s = jnp.maximum(nx[s_safe], 1)
+    # The three per-splat expansion operands are fetched with ONE multi-row
+    # gather: on TPU a gather's cost is ~flat in the slice width (per-query
+    # bound), so 3 fused rows cost one third of 3 separate gathers.
+    exp_ops = jnp.stack([offsets, jnp.maximum(nx, 1), ty0 * ntx + tx0])
+    g3 = exp_ops[:, s_safe]
+    r = pair_idx - g3[0]
+    nx_s = g3[1]
     # r // nx via correctly-rounded f32 division: TPU has no integer divide
     # (it lowers to a long emulation sequence); r and nx are small (< 2^24)
     # so the f32 quotient is exact enough for floor (3/3 = 1.0 exactly —
     # do NOT use reciprocal-multiply here, 3·(1/3) rounds below 1).
     dty = jnp.floor(r.astype(jnp.float32) / nx_s.astype(jnp.float32)).astype(jnp.int32)
     dtx = r - dty * nx_s
-    tile = (ty0[s_safe] + dty) * ntx + (tx0[s_safe] + dtx)
-    pair_valid = pair_idx < jnp.minimum(total, budget)
+    tile = g3[2] + dty * ntx + dtx
+    pair_valid = pair_idx < total
     tile = jnp.where(pair_valid, tile, num_tiles)
     splat_of_pair = jnp.where(pair_valid, s_safe, n)
 
     # One stable sort by tile groups pairs per tile while preserving the
-    # global front-to-back order within each tile.
-    tile_sorted, splat_sorted = jax.lax.sort(
-        (tile, splat_of_pair), num_keys=1, is_stable=True
-    )
+    # global front-to-back order within each tile.  The expansion index rides
+    # along (third payload, ~2 ms) only when the gradient map is requested.
+    if with_grad_map:
+        tile_sorted, splat_sorted, eidx_sorted = jax.lax.sort(
+            (tile, splat_of_pair, pair_idx), num_keys=1, is_stable=True
+        )
+    else:
+        tile_sorted, splat_sorted = jax.lax.sort(
+            (tile, splat_of_pair), num_keys=1, is_stable=True
+        )
 
     # Segment boundaries per tile (in the sorted, unaligned pair order).
+    # 2k queries into the sorted pair array — cheap (log-rounds of tiny
+    # gathers), unlike per-pair searchsorted.
     tile_ids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
     starts = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
     raw_count = starts[1:] - starts[:-1]
@@ -183,10 +207,25 @@ def bin_splats(
     # Rounded up to a chunk multiple so the transposed (16, P_pad) payload
     # has a 128-aligned minor dimension (Pallas HBM slice constraint).
     p_pad = -(-(budget + num_tiles * (chunk - 1) + chunk) // chunk) * chunk
-    tile_safe = jnp.minimum(tile_sorted, num_tiles - 1)
-    pos_in_tile = jnp.arange(budget, dtype=jnp.int32) - starts[:-1][tile_safe]
-    keep = (tile_sorted < num_tiles) & (pos_in_tile < tile_count[tile_safe])
-    dest = jnp.where(keep, aligned_start[tile_safe] + pos_in_tile, p_pad)
+
+    # Per-sorted-pair segment descriptors WITHOUT per-pair gathers (a 4M-query
+    # gather costs ~35 ms on TPU; a 2k-element boundary scatter + cummax costs
+    # ~7 ms): scatter each tile's descriptor at its segment start and cummax.
+    # All three scattered values are monotone non-decreasing in tile id, so
+    # ties at shared start positions (empty tiles) resolve to the owning
+    # (largest) tile and the running max reproduces the piecewise-constant
+    # per-pair descriptor exactly.
+    sb = starts[:-1]
+
+    def seg_desc(values):
+        m = jnp.zeros((budget,), jnp.int32).at[sb].max(values, mode="drop")
+        return jax.lax.cummax(m)
+
+    seg_base = seg_desc(sb)                              # starts[tile_of_pair]
+    out_base = seg_desc(aligned_start[:-1])              # aligned_start[tile]
+    cap_end = seg_desc(sb + tile_count)                  # capped segment end
+    keep = pair_idx < cap_end                            # capacity + sentinel
+    dest = jnp.where(keep, out_base + (pair_idx - seg_base), p_pad)
     pair_splat = jnp.full((p_pad,), n, dtype=jnp.int32).at[dest].set(
         splat_sorted, mode="drop"
     )
@@ -197,12 +236,22 @@ def bin_splats(
         pair_tile = jnp.full((p_pad,), num_tiles, dtype=jnp.int32).at[dest].set(
             tile_sorted, mode="drop"
         )
+    dest_of_exp = None
+    if with_grad_map:
+        dest_of_exp = jnp.full((budget,), p_pad, dtype=jnp.int32).at[
+            eidx_sorted
+        ].set(dest, mode="drop")
 
-    dropped = jnp.maximum(total - budget, 0) + jnp.sum(raw_count - tile_count)
+    dropped = jnp.maximum((cum[-1] if n > 0 else 0) - budget, 0) + jnp.sum(
+        raw_count - tile_count
+    )
     return BinnedPairs(
         pair_splat=pair_splat,
         pair_tile=pair_tile,
         tile_start=aligned_start[:-1],
         tile_count=tile_count,
         dropped_pairs=dropped.astype(jnp.int32),
+        dest_of_exp=dest_of_exp,
+        exp_offsets=offsets if with_grad_map else None,
+        exp_counts=counts if with_grad_map else None,
     )

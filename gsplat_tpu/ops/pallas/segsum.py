@@ -1,0 +1,190 @@
+"""Pallas segmented column-sum: per-pair gradients → per-splat gradients.
+
+The VJP of the pair-payload gather ``payload = fields[:, pair_splat]`` is a
+segment reduction: every splat's gradient is the sum of its pairs' gradient
+columns.  XLA lowers that as ``zeros.at[:, pair_splat].add(d_payload)`` — a
+16-row scatter-add that costs ~410 ms at 4M pairs on TPU (scatters process
+one index per cycle-ish).  This kernel does the same reduction in a few ms:
+
+* pairs are first permuted to **expansion order** (grouped by splat,
+  contiguous segments — one 16-row gather, see ``ops/pair_gather``);
+* splats with ≥1 pair get dense **compact ids**; each grid program owns a
+  block of B compact splats and walks its pair window in C-pair chunks;
+* within a chunk the ragged per-splat reduction is a single MXU matmul
+  against a one-hot membership matrix built on the fly:
+  ``acc (16,B) += d_chunk (16,C) ×_C onehotᵀ (B,C)`` where
+  ``onehotᵀ[i,j] = [cid_j == block_base + i]``.  Chunks at window edges
+  overlap neighbouring blocks' pairs; the compare simply zeroes them, so no
+  masking or alignment fixups are needed.
+
+The per-pair compact id rides in **payload row 15** (exact in f32 below
+2^24), keeping pairs on the lane axis end to end: a separate integer side
+array would need either a lane→sublane relayout in-kernel or a (P, 1)
+layout that Mosaic pads 128× in HBM.  Rows 10..15 of the result are zeroed
+(they are non-differentiable metadata rows; row 15 doubles as the cid
+carrier).
+
+Accumulation order within a splat is the fixed chunk-major order — bit-wise
+deterministic for a given binning, independent of device count.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+C_PAD = 16   # payload rows (matches ops/pallas/composite.C_PAD)
+ROW_CID = 15  # payload row carrying the per-pair compact splat id (f32)
+BLK = 128    # compact splats per grid program
+CHK = 256    # pairs per DMA chunk
+
+
+def _segsum_kernel(
+    bstart_ref,   # (nblocks+1,) int32 scalar-prefetch: pair window per block
+    dpay_ref,     # (C_PAD, Pq) f32 HBM — per-pair gradients, expansion order;
+                  # row 15 = compact splat id (f32)
+    out_ref,      # (C_PAD, BLK) VMEM block — per-compact-splat sums
+    buf,          # (2, C_PAD, CHK) f32 VMEM scratch
+    sem,
+):
+    p = pl.program_id(0)
+    w0 = bstart_ref[p]
+    w1 = bstart_ref[p + 1]
+    c0 = w0 // CHK
+    nchunks = jnp.where(w1 > w0, pl.cdiv(w1, CHK) - c0, 0)
+
+    def dma(slot, ci):
+        off = pl.multiple_of((c0 + ci) * CHK, CHK)
+        return pltpu.make_async_copy(
+            dpay_ref.at[:, pl.ds(off, CHK)], buf.at[slot], sem.at[slot]
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    iota_bc = (
+        jax.lax.broadcasted_iota(jnp.int32, (BLK, CHK), 0) + p * BLK
+    ).astype(jnp.float32)
+
+    def body(ci, acc):
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < nchunks)
+        def _():
+            dma(1 - slot, ci + 1).start()
+
+        dma(slot, ci).wait()
+
+        cid_row = buf[slot, ROW_CID : ROW_CID + 1, :]        # (1, CHK)
+        onehot_t = (cid_row == iota_bc).astype(jnp.float32)  # (BLK, CHK)
+        part = jax.lax.dot_general(
+            buf[slot],
+            onehot_t,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (C_PAD, BLK)
+        return acc + part
+
+    acc = jax.lax.fori_loop(
+        0, nchunks, body, jnp.zeros((C_PAD, BLK), jnp.float32)
+    )
+    out_ref[...] = acc
+
+
+@functools.lru_cache(maxsize=32)
+def _build_segsum(nblocks: int, p_q: int, interpret: bool):
+    return pl.pallas_call(
+        _segsum_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec(
+                (C_PAD, BLK), lambda p, *_: (0, p), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, C_PAD, CHK), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((C_PAD, nblocks * BLK), jnp.float32),
+        interpret=interpret,
+    )
+
+
+_ROW_MASK = None
+
+
+def _diff_row_mask():
+    """(16, 1) mask of differentiable payload rows (0..9); rows 10..15 are
+    metadata (row 15 additionally carries the cid) with zero cotangent."""
+    global _ROW_MASK
+    if _ROW_MASK is None:
+        m = np.zeros((C_PAD, 1), np.float32)
+        m[:10] = 1.0
+        _ROW_MASK = m
+    return _ROW_MASK
+
+
+def segsum_by_splat(
+    d_exp: jnp.ndarray,      # (C_PAD, budget) f32 — pair grads, expansion order
+    exp_offsets: jnp.ndarray,  # (N,) int32 — splat s's pairs at [off, off+cnt)
+    exp_counts: jnp.ndarray,   # (N,) int32
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Sum pair-gradient columns per splat.  Returns (C_PAD, N) f32 with
+    rows 10..15 zero."""
+    n = exp_offsets.shape[0]
+    budget = d_exp.shape[1]
+    total = jnp.minimum(
+        (exp_offsets[-1] + exp_counts[-1]) if n > 0 else jnp.int32(0), budget
+    )
+
+    # Compact ids: rank of each pair-owning splat among splats with ≥1
+    # materialised pair.  Built with tiny scatters + one linear cumsum — no
+    # per-pair gathers.
+    nonzero = (exp_counts > 0) & (exp_offsets < budget)
+    seg_marks = jnp.zeros((budget,), jnp.int32).at[
+        jnp.where(nonzero, exp_offsets, budget)
+    ].set(1, mode="drop")
+    cid_pair = jnp.cumsum(seg_marks) - 1
+    cid_pair = jnp.where(
+        jnp.arange(budget, dtype=jnp.int32) < total, cid_pair, -1
+    )
+    cid_splat = jnp.cumsum(nonzero.astype(jnp.int32)) - 1  # (N,)
+
+    nblocks = -(-n // BLK)
+    # Pair-window table per block: coff[c] = first pair of compact splat c
+    # (total for c ≥ #compact splats), subsampled at block boundaries.
+    coff = jnp.full((nblocks * BLK + 1,), total, jnp.int32).at[
+        jnp.where(nonzero, cid_splat, nblocks * BLK + 1)
+    ].set(exp_offsets, mode="drop")
+    bstart = coff[::BLK]  # (nblocks+1,)
+
+    # Stash the cid in row 15 (exact in f32: cid < 2^24) and pad the pair
+    # axis to the DMA chunk size (padding cid −1 never matches any block).
+    d_exp = d_exp.at[ROW_CID, :].set(cid_pair.astype(jnp.float32))
+    p_q = -(-budget // CHK) * CHK
+    if p_q != budget:
+        d_exp = jnp.concatenate(
+            [
+                d_exp,
+                jnp.broadcast_to(
+                    np.array([[0.0]] * ROW_CID + [[-1.0]], np.float32),
+                    (C_PAD, p_q - budget),
+                ),
+            ],
+            axis=1,
+        )
+
+    call = _build_segsum(nblocks, p_q, interpret)
+    d_comp = call(bstart, d_exp)  # (C_PAD, nblocks*BLK)
+
+    d = jnp.take(d_comp, jnp.maximum(cid_splat, 0), axis=1)
+    return jnp.where(nonzero[None, :], d, 0.0) * _diff_row_mask()

@@ -35,6 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.camera import Camera
 from ..models.splats import GaussianSplats
 from ..ops.binning import bin_splats, tile_grid
+from ..ops.pair_gather import gather_pairs
 from ..ops.pallas.composite import composite_pairs_pallas, unpack_image
 from ..ops.projection import ProjectedSplats, project_splats
 from ..ops.rasterize_ref import sanitize_projected
@@ -112,13 +113,20 @@ def _render_strip(
     binned = bin_splats(
         p, width, strip_h, config, row_offset=row_offset,
         with_tiles=(backend != "pallas"),
+        with_grad_map=(backend == "pallas"),
     )
     nty, ntx = tile_grid(width, strip_h, config.tile_h, config.tile_w)
     if backend == "pallas":
         fields = jnp.concatenate(
             [p.fields, jnp.zeros((p.fields.shape[0], 1), jnp.float32)], axis=1
         )
-        pair_payload = fields[:, binned.pair_splat]
+        pair_payload = gather_pairs(
+            fields,
+            binned.pair_splat,
+            binned.dest_of_exp,
+            binned.exp_offsets,
+            binned.exp_counts,
+        )
         packed = composite_pairs_pallas(
             pair_payload,
             binned.tile_start,

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from .models.camera import Camera
 from .models.splats import GaussianSplats
 from .ops.binning import bin_splats, tile_grid
+from .ops.pair_gather import gather_pairs
 from .ops.pallas.composite import composite_pairs_pallas, unpack_image
 from .ops.projection import ProjectedSplats, project_splats
 from .ops.rasterize_ref import render_reference, sanitize_projected
@@ -47,16 +48,26 @@ def render_pallas(
         p = sort_by_depth(p)
     else:
         p = ProjectedSplats(fields=p.fields[:, order])
-    binned = bin_splats(p, camera.width, camera.height, config, with_tiles=False)
+    binned = bin_splats(
+        p, camera.width, camera.height, config, with_tiles=False, with_grad_map=True
+    )
     nty, ntx = tile_grid(camera.width, camera.height, config.tile_h, config.tile_w)
 
     # Pair payload (16, P_pad): the projected field matrix + a benign zero
     # sentinel column, gathered into chunk-aligned per-tile segments.  The
-    # transpose of the gather is the per-splat scatter-add of gradients.
+    # custom VJP turns the gradient scatter-add into a segment reduction
+    # (ops/pair_gather.py) — ~10× faster on TPU.
     fields = jnp.concatenate(
         [p.fields, jnp.zeros((p.fields.shape[0], 1), jnp.float32)], axis=1
     )
-    pair_payload = fields[:, binned.pair_splat]
+    pair_payload = gather_pairs(
+        fields,
+        binned.pair_splat,
+        binned.dest_of_exp,
+        binned.exp_offsets,
+        binned.exp_counts,
+        interpret,
+    )
 
     packed = composite_pairs_pallas(
         pair_payload,
