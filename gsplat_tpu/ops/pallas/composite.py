@@ -44,6 +44,7 @@ TILE = 32          # logical pixel tile is TILE×TILE
 PACK_SUB = 8       # sublanes
 PACK_LANES = 128   # lanes; TILE*TILE == PACK_SUB*PACK_LANES
 C_PAD = 16         # padded payload field count (10 used — see ops/binning.py)
+N_SUMS = 10        # per-splat gradient reductions batched through gmat
 UNROLL = 4         # forward compositing loop unroll (must divide chunk)
 
 
@@ -201,12 +202,17 @@ def _bwd_kernel(
     fwd_out_ref,   # (1, 1, 4, 8, 128) VMEM block (unused; kept for residual plumbing)
     dout_ref,      # (1, 1, 4, 8, 128) VMEM block
     dpay_ref,      # (C_PAD, P_pad) HBM out
-    buf,           # (2, C_PAD, chunk) SMEM in
-    dbuf,          # (2, C_PAD, chunk) SMEM out staging
+    buf,           # (2, C_PAD, chunk) SMEM in — scalar per-splat field reads
+    vbuf,          # (2, C_PAD, chunk) VMEM in — same bytes, for MXU transpose
+    dbuf,          # (2, C_PAD, chunk) VMEM out staging
+    dtt,           # (chunk, C_PAD) VMEM — per-splat grads, splats on sublanes
+    gmat,          # (N_SUMS*chunk, PACK_LANES) VMEM — per-splat lane-rows
     zbuf,          # (C_PAD, chunk) VMEM zeros for skipped chunks
     tstart,        # (max_chunks, 8, 128) VMEM — transmittance at chunk starts
     tsplat,        # (chunk, 8, 128) VMEM — per-splat transmittance, one chunk
+    asplat,        # (chunk, 8, 128) VMEM — per-splat alpha, one chunk
     sem,
+    vsem,
     dsem,
     zsem,
     *,
@@ -216,7 +222,7 @@ def _bwd_kernel(
     max_alpha: float,
     soft_cutoff: bool,
 ):
-    """Backward: division-free two-pass replay.
+    """Backward: division-free two-pass replay with MXU-batched reductions.
 
     The textbook 3DGS backward reconstructs per-splat transmittance by
     dividing the final T by (1−α) back-to-front; that collapses to zero for
@@ -225,13 +231,22 @@ def _bwd_kernel(
 
       * pass 1 re-runs the forward alpha sweep, checkpointing T at each
         chunk start (``tstart``, ≤ tile_capacity/chunk snapshots in VMEM);
-      * pass 2 walks chunks in reverse; within a chunk it recomputes T
-        forward from the checkpoint into ``tsplat`` (exact — same ops as the
-        forward kernel), then emits gradients back-to-front using the
-        division-free identities
+      * pass 2 walks chunks in reverse; within a chunk it recomputes T (and
+        α, memoized for the gradient walk) forward from the checkpoint —
+        exact, same ops as the forward kernel — then emits gradients
+        back-to-front using the division-free identities
             S_i/(1−α_i)       = T_i·s̃_i,   s̃_i = c_{i+1}α_{i+1} + (1−α_{i+1})s̃_{i+1}
             T_final/(1−α_i)   = T_i·R_i,   R_i = Π_{j>i}(1−α_j)
         so every quantity is a bounded product of forward values.
+
+    Reduction strategy (the hot part): each of the 10 per-splat gradient
+    scalars is a full (8,128)-pixel reduction.  Doing 10 tree-reductions per
+    splat costs ~100 VPU ops; instead each splat emits 10 *sublane-reduced*
+    lane-rows (3 adds each) into the ``gmat`` accumulator, and ONE mat-vec
+    against a ones vector at chunk end performs all 10·chunk lane reductions
+    on the MXU.  The per-splat scalar post-combines (quad-basis weighting of
+    the raw sums) run vectorized over the chunk with splats on sublanes,
+    using an MXU-transposed copy of the payload block.
     """
     ty = pl.program_id(0)
     tx = pl.program_id(1)
@@ -248,6 +263,13 @@ def _bwd_kernel(
             payload_ref.at[:, pl.ds(pl.multiple_of(start + ci * chunk, chunk), chunk)],
             buf.at[slot],
             sem.at[slot],
+        )
+
+    def dma_vin(slot, ci):
+        return pltpu.make_async_copy(
+            payload_ref.at[:, pl.ds(pl.multiple_of(start + ci * chunk, chunk), chunk)],
+            vbuf.at[slot],
+            vsem.at[slot],
         )
 
     def dma_out(slot, ci):
@@ -279,6 +301,12 @@ def _bwd_kernel(
 
     ones = jnp.ones((PACK_SUB, PACK_LANES), jnp.float32)
     zeros = jnp.zeros((PACK_SUB, PACK_LANES), jnp.float32)
+    ones_col = jnp.ones((PACK_LANES, 1), jnp.float32)
+    # 128×128 identity for MXU transposes (iota trick: no constant buffer).
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    ).astype(jnp.float32)
 
     # ---- pass 1: forward alpha sweep, checkpoint T at chunk starts ----
     @pl.when(nused > 0)
@@ -309,10 +337,11 @@ def _bwd_kernel(
 
     jax.lax.fori_loop(0, nused, p1_body, ones)
 
-    # ---- pass 2: reverse chunks; exact within-chunk T replay; gradients ----
+    # ---- pass 2: reverse chunks; exact within-chunk T/α replay; gradients ----
     @pl.when(nused > 0)
     def _():
         dma_in(jax.lax.rem(nused - 1, 2), nused - 1).start()
+        dma_vin(jax.lax.rem(nused - 1, 2), nused - 1).start()
 
     def body(state):
         k, sr, sg, sb, rr = state  # k counts processed chunks (from the back)
@@ -322,6 +351,7 @@ def _bwd_kernel(
         @pl.when(ci - 1 >= 0)
         def _():
             dma_in(1 - slot, ci - 1).start()
+            dma_vin(1 - slot, ci - 1).start()
 
         dma_in(slot, ci).wait()
 
@@ -332,7 +362,8 @@ def _bwd_kernel(
         def _():
             dma_out(oslot, nused - 1 - (k - 2)).wait()
 
-        # exact forward T replay within this chunk (same ops as fwd kernel)
+        # Exact forward T replay within this chunk (same ops as fwd kernel);
+        # α is memoized so the gradient walk reads it instead of recomputing.
         def fill_body(k, t_c):
             i0 = k * UNROLL
             alphas = [
@@ -341,6 +372,7 @@ def _bwd_kernel(
             ]
             for u in range(UNROLL):
                 tsplat[i0 + u] = t_c
+                asplat[i0 + u] = alphas[u]
                 t_c = t_c * (1.0 - alphas[u])
             return t_c
 
@@ -354,16 +386,16 @@ def _bwd_kernel(
 
         def _grad_one(s, i):
             sr, sg, sb, rr = s
-            alpha, qx, qy, dx, dy, op = _splat_alpha(
-                buf, slot, i, px, py, max_alpha, soft_cutoff
-            )
-            r = buf[slot, 6, i]
-            g = buf[slot, 7, i]
-            b = buf[slot, 8, i]
+            cx = buf[slot, 0, i]
+            cy = buf[slot, 1, i]
             ax = buf[slot, 2, i]
             ay = buf[slot, 3, i]
             bx = buf[slot, 4, i]
             by = buf[slot, 5, i]
+            r = buf[slot, 6, i]
+            g = buf[slot, 7, i]
+            b = buf[slot, 8, i]
+            alpha = asplat[i]
             t_i = tsplat[i]
             w_i = alpha * t_i
             d_alpha = t_i * (
@@ -377,24 +409,30 @@ def _bwd_kernel(
                 active = active & (alpha > 0.0)
             ga = jnp.where(active, d_alpha, 0.0)
             d_power = -ga * alpha
-            # exp(−power) = alpha/opacity where unclamped; binning culls
-            # opacity < 1/255 so the divide is safe for real pairs, and
-            # sentinel pairs (op=0) have alpha ≡ 0.
-            exp_pow = alpha * (1.0 / jnp.maximum(op, 1e-20))
+            dx = px - cx
+            dy = py - cy
+            qx = dx * ax + dy * ay
+            qy = dx * bx + dy * by
             d_qx = 2.0 * qx * d_power
             d_qy = 2.0 * qy * d_power
-            sum_dqx = jnp.sum(d_qx)
-            sum_dqy = jnp.sum(d_qy)
-            dbuf[oslot, 0, i] = -(ax * sum_dqx + bx * sum_dqy)
-            dbuf[oslot, 1, i] = -(ay * sum_dqx + by * sum_dqy)
-            dbuf[oslot, 2, i] = jnp.sum(d_qx * dx)
-            dbuf[oslot, 3, i] = jnp.sum(d_qx * dy)
-            dbuf[oslot, 4, i] = jnp.sum(d_qy * dx)
-            dbuf[oslot, 5, i] = jnp.sum(d_qy * dy)
-            dbuf[oslot, 6, i] = jnp.sum(dc_r * w_i)
-            dbuf[oslot, 7, i] = jnp.sum(dc_g * w_i)
-            dbuf[oslot, 8, i] = jnp.sum(dc_b * w_i)
-            dbuf[oslot, 9, i] = jnp.sum(ga * exp_pow)
+
+            # 10 sublane-reduced lane-rows; the lane reduction happens for
+            # the whole chunk at once in the chunk-end mat-vec.
+            def put(kk, v):
+                gmat[pl.ds(kk * chunk + i, 1), :] = jnp.sum(
+                    v, axis=0, keepdims=True
+                )
+
+            put(0, d_qx)
+            put(1, d_qy)
+            put(2, d_qx * dx)
+            put(3, d_qx * dy)
+            put(4, d_qy * dx)
+            put(5, d_qy * dy)
+            put(6, dc_r * w_i)
+            put(7, dc_g * w_i)
+            put(8, dc_b * w_i)
+            put(9, ga * alpha)
             om = 1.0 - alpha
             return (
                 r * alpha + om * sr,
@@ -405,6 +443,51 @@ def _bwd_kernel(
 
         sr, sg, sb, rr = jax.lax.fori_loop(
             0, chunk // UNROLL, splat_body, (sr, sg, sb, rr)
+        )
+
+        # ---- chunk-end: lane-reduce all rows on the MXU, then combine ----
+        sums = jax.lax.dot(gmat[...], ones_col, preferred_element_type=jnp.float32)
+
+        def seg(kk):  # (chunk, 1) raw sum per splat
+            return sums[kk * chunk : (kk + 1) * chunk]
+
+        s_dqx, s_dqy = seg(0), seg(1)
+        s_dqx_dx, s_dqx_dy = seg(2), seg(3)
+        s_dqy_dx, s_dqy_dy = seg(4), seg(5)
+
+        # payload block transposed to (chunk, C_PAD): splats on sublanes.
+        dma_vin(slot, ci).wait()
+        buf_t = jax.lax.dot_general(
+            eye, vbuf[slot],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (chunk, C_PAD)
+        axv = buf_t[:, 2:3]
+        ayv = buf_t[:, 3:4]
+        bxv = buf_t[:, 4:5]
+        byv = buf_t[:, 5:6]
+        opv = buf_t[:, 9:10]
+
+        dtt[:, 0:1] = -(axv * s_dqx + bxv * s_dqy)
+        dtt[:, 1:2] = -(ayv * s_dqx + byv * s_dqy)
+        dtt[:, 2:3] = s_dqx_dx
+        dtt[:, 3:4] = s_dqx_dy
+        dtt[:, 4:5] = s_dqy_dx
+        dtt[:, 5:6] = s_dqy_dy
+        dtt[:, 6:7] = seg(6)
+        dtt[:, 7:8] = seg(7)
+        dtt[:, 8:9] = seg(8)
+        # exp(−power) = alpha/opacity where unclamped; binning culls
+        # opacity < 1/255 so the divide is safe for real pairs, and
+        # sentinel pairs (op=0) have alpha ≡ 0.
+        dtt[:, 9:10] = seg(9) * (1.0 / jnp.maximum(opv, 1e-20))
+        dtt[:, 10:16] = jnp.zeros((chunk, 6), jnp.float32)
+
+        # transpose back to payload layout (C_PAD, chunk) on the MXU.
+        dbuf[oslot] = jax.lax.dot_general(
+            dtt[...], eye,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         dma_out(oslot, ci).start()
         return k + 1, sr, sg, sb, rr
@@ -494,11 +577,16 @@ def _build_kernels(nty: int, ntx: int, p_pad: int, cfg: RenderConfig, interpret:
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.HBM),  # d_payload
             scratch_shapes=[
-                pltpu.SMEM((2, C_PAD, chunk), jnp.float32),
-                pltpu.SMEM((2, C_PAD, chunk), jnp.float32),
-                pltpu.VMEM((C_PAD, chunk), jnp.float32),
+                pltpu.SMEM((2, C_PAD, chunk), jnp.float32),   # buf
+                pltpu.VMEM((2, C_PAD, chunk), jnp.float32),   # vbuf
+                pltpu.VMEM((2, C_PAD, chunk), jnp.float32),   # dbuf
+                pltpu.VMEM((chunk, C_PAD), jnp.float32),      # dtt
+                pltpu.VMEM((N_SUMS * chunk, PACK_LANES), jnp.float32),  # gmat
+                pltpu.VMEM((C_PAD, chunk), jnp.float32),      # zbuf
                 pltpu.VMEM((max_chunks, PACK_SUB, PACK_LANES), jnp.float32),
-                pltpu.VMEM((chunk, PACK_SUB, PACK_LANES), jnp.float32),
+                pltpu.VMEM((chunk, PACK_SUB, PACK_LANES), jnp.float32),  # tsplat
+                pltpu.VMEM((chunk, PACK_SUB, PACK_LANES), jnp.float32),  # asplat
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA(()),

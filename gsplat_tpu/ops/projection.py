@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from ..models.camera import Camera
 from ..models.splats import GaussianSplats
 from .covariance import (
+    ALPHA_CUTOFF,
     AXIS_MAX_PX,
     COV2D_DILATION,
     FOV_CLAMP,
@@ -137,8 +138,18 @@ def project_splats(
     splats: GaussianSplats,
     camera: Camera,
     sh_order: int = 3,
+    tight_footprint: bool = False,
 ) -> ProjectedSplats:
-    """Project all splats for one camera.  ``sh_order`` must be static."""
+    """Project all splats for one camera.  ``sh_order`` must be static.
+
+    ``tight_footprint``: shrink the binning bbox (rows 12-13) to the
+    opacity-dependent discard radius ``√ln(opacity/ALPHA_CUTOFF)`` instead of
+    the full ±QUAD_EXTENT quad.  Every pixel outside that radius fails the
+    fragment discard ``α ≥ 1/255`` (``GSplatShaderSource.h:309``), so with
+    the hard cutoff the image is bit-identical while low-opacity splats touch
+    far fewer tiles (a trained scene is full of them).  Keep False for
+    ``soft_cutoff`` rendering, where faint tails still contribute.
+    """
     view = camera.view.astype(jnp.float32)
     proj = camera.proj.astype(jnp.float32)
     pos = splats.pos.astype(jnp.float32)
@@ -240,8 +251,22 @@ def project_splats(
     ay_ = v1y * inv_l1
     bx_ = v2x * inv_l2
     by_ = v2y * inv_l2
-    half_x = QUAD_EXTENT * (jnp.abs(v1x) + jnp.abs(v2x))
-    half_y = QUAD_EXTENT * (jnp.abs(v1y) + jnp.abs(v2y))
+    if tight_footprint:
+        opac = splats.opacity.astype(jnp.float32)
+        # stop_gradient: the footprint is a binning-only quantity (zero
+        # cotangent), and √x at x=0 would otherwise inject inf·0 = NaN.
+        extent = jax.lax.stop_gradient(
+            jnp.minimum(
+                QUAD_EXTENT,
+                jnp.sqrt(
+                    jnp.maximum(jnp.log(jnp.maximum(opac, 1e-20) / ALPHA_CUTOFF), 0.0)
+                ),
+            )
+        )
+    else:
+        extent = QUAD_EXTENT
+    half_x = extent * (jnp.abs(v1x) + jnp.abs(v2x))
+    half_y = extent * (jnp.abs(v1y) + jnp.abs(v2y))
 
     # --- depth key + SH color (GSplatShaderSource.h:244-275) ---
     cam_pos = camera.position

@@ -22,15 +22,18 @@ from ..models.splats import GaussianSplats
 from ..utils.config import RenderConfig
 from .binning import BinnedPairs, bin_splats, tile_grid
 from .covariance import ALPHA_CUTOFF, QUAD_EXTENT
+from .permute import permute_cols
 from .projection import N_FIELDS, ROW_DEPTH, ProjectedSplats, project_splats
 from .rasterize_ref import sanitize_projected
 
 
 def sort_by_depth(p: ProjectedSplats) -> ProjectedSplats:
     """Global ascending-distance sort (``src/GSplatRenderer.C:176-216``);
-    invalid splats (depth=inf after sanitize) go last."""
+    invalid splats (depth=inf after sanitize) go last.  The permutation is
+    applied via :func:`permute_cols` so the backward pass is an
+    inverse-permutation gather, not a scatter-add."""
     order = jnp.argsort(p.fields[ROW_DEPTH])
-    return ProjectedSplats(fields=p.fields[:, order])
+    return ProjectedSplats(fields=permute_cols(p.fields, order))
 
 
 def depth_order(splats: GaussianSplats, camera: Camera) -> jnp.ndarray:
@@ -155,12 +158,14 @@ def render_tiles(
     ``order``: optional precomputed depth permutation (see
     :func:`depth_order`) — the amortized-sort path; recomputed when None.
     """
-    projected = project_splats(splats, camera, config.sh_order)
+    projected = project_splats(
+        splats, camera, config.sh_order, tight_footprint=not config.soft_cutoff
+    )
     p = sanitize_projected(projected)
     if order is None:
         p = sort_by_depth(p)
     else:
-        p = ProjectedSplats(fields=p.fields[:, order])
+        p = ProjectedSplats(fields=permute_cols(p.fields, order))
     binned = bin_splats(p, camera.width, camera.height, config)
     nty, ntx = tile_grid(camera.width, camera.height, config.tile_h, config.tile_w)
     lists = build_tile_lists(binned, nty * ntx, config.tile_capacity, p.count)

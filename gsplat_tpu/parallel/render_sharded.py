@@ -164,7 +164,10 @@ def render_sharded(
     strip_h = h_pad // d
 
     def local_fn(splats_local):
-        projected = project_splats(splats_local, camera, config.sh_order)
+        projected = project_splats(
+            splats_local, camera, config.sh_order,
+            tight_footprint=not config.soft_cutoff,
+        )
         p = sanitize_projected(projected)
         # Compact payload exchange (one collective): every device needs every
         # projected splat's (16,)-field column, never the raw parameters.

@@ -23,6 +23,7 @@ from .models.splats import GaussianSplats
 from .ops.binning import bin_splats, tile_grid
 from .ops.pair_gather import gather_pairs
 from .ops.pallas.composite import composite_pairs_pallas, unpack_image
+from .ops.permute import permute_cols
 from .ops.projection import ProjectedSplats, project_splats
 from .ops.rasterize_ref import render_reference, sanitize_projected
 from .ops.rasterize_tiles import render_tiles, sort_by_depth
@@ -42,12 +43,14 @@ def render_pallas(
     """
     if config.tile_h != 32 or config.tile_w != 32:
         raise ValueError("pallas backend requires tile_h == tile_w == 32")
-    projected = project_splats(splats, camera, config.sh_order)
+    projected = project_splats(
+        splats, camera, config.sh_order, tight_footprint=not config.soft_cutoff
+    )
     p = sanitize_projected(projected)
     if order is None:
         p = sort_by_depth(p)
     else:
-        p = ProjectedSplats(fields=p.fields[:, order])
+        p = ProjectedSplats(fields=permute_cols(p.fields, order))
     binned = bin_splats(
         p, camera.width, camera.height, config, with_tiles=False, with_grad_map=True
     )
