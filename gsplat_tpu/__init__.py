@@ -22,6 +22,8 @@ from .render import render, render_pallas
 from .scene import SceneRegistry
 from .io.ply import load_ply, save_ply
 from .io.attributes import splats_from_attributes
+from .io.json_io import load_json, save_json
+from .ops.queries import RayHit, intersect_ray_bbox, intersect_rays_bbox
 
 __all__ = [
     "render",
@@ -46,4 +48,9 @@ __all__ = [
     "load_ply",
     "save_ply",
     "splats_from_attributes",
+    "load_json",
+    "save_json",
+    "RayHit",
+    "intersect_ray_bbox",
+    "intersect_rays_bbox",
 ]

@@ -211,21 +211,22 @@ def bin_splats(
     # Per-sorted-pair segment descriptors WITHOUT per-pair gathers (a 4M-query
     # gather costs ~35 ms on TPU; a 2k-element boundary scatter + cummax costs
     # ~7 ms): scatter each tile's descriptor at its segment start and cummax.
-    # All three scattered values are monotone non-decreasing in tile id, so
-    # ties at shared start positions (empty tiles) resolve to the owning
-    # (largest) tile and the running max reproduces the piecewise-constant
-    # per-pair descriptor exactly.
+    # Both scattered values are monotone non-decreasing in tile id —
+    # ``delta[t] = aligned_start[t] − starts[t] = Σ_{t'<t}(padded−count) ≥ 0``
+    # and ``capped_end[t] = starts[t] + tile_count[t]`` — so ties at shared
+    # start positions (empty tiles) resolve to the owning (largest) tile and
+    # the running max reproduces the piecewise-constant per-pair descriptor
+    # exactly.  ``dest = pair_idx + delta`` then needs no third chain.
     sb = starts[:-1]
 
     def seg_desc(values):
         m = jnp.zeros((budget,), jnp.int32).at[sb].max(values, mode="drop")
         return jax.lax.cummax(m)
 
-    seg_base = seg_desc(sb)                              # starts[tile_of_pair]
-    out_base = seg_desc(aligned_start[:-1])              # aligned_start[tile]
+    delta = seg_desc(aligned_start[:-1] - sb)            # aligned − raw start
     cap_end = seg_desc(sb + tile_count)                  # capped segment end
     keep = pair_idx < cap_end                            # capacity + sentinel
-    dest = jnp.where(keep, out_base + (pair_idx - seg_base), p_pad)
+    dest = jnp.where(keep, pair_idx + delta, p_pad)
     pair_splat = jnp.full((p_pad,), n, dtype=jnp.int32).at[dest].set(
         splat_sorted, mode="drop"
     )

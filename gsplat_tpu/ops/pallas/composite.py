@@ -43,7 +43,11 @@ from ..covariance import ALPHA_CUTOFF, QUAD_EXTENT
 TILE = 32          # logical pixel tile is TILE×TILE
 PACK_SUB = 8       # sublanes
 PACK_LANES = 128   # lanes; TILE*TILE == PACK_SUB*PACK_LANES
-C_PAD = 16         # padded payload field count (10 used — see ops/binning.py)
+C_PAD = 16         # payload rows in HBM: compositing reads rows 0..9 (center,
+                   # quad basis, rgb, opacity); rows 10..15 ride along because
+                   # XLA/Mosaic tile the sublane dim to 8 — a 10-row array is
+                   # physically 16 rows and un-sliceable for DMA anyway
+C_USED = 10        # differentiable payload rows (gradients exist for 0..9)
 N_SUMS = 10        # per-splat gradient reductions batched through gmat
 UNROLL = 4         # forward compositing loop unroll (must divide chunk)
 
@@ -96,15 +100,19 @@ def _fwd_kernel(
     payload_ref,   # (C_PAD, P_pad) HBM
     out_ref,       # (1, 1, 4, 8, 128) VMEM block
     stop_ref,      # (T,) SMEM, full array
-    buf,           # (2, C_PAD, chunk) SMEM scratch
-    sem,
-    *,
+    *rest,         # [tchk_ref] + scratch: transmittance checkpoints (fwd rule)
     ntx: int,
     chunk: int,
     max_alpha: float,
     soft_cutoff: bool,
     t_eps: float,
+    checkpoint: bool,
 ):
+    if checkpoint:
+        tchk_ref, buf, sem = rest  # (1, 1, max_chunks, 8, 128) VMEM block
+    else:
+        tchk_ref = None
+        buf, sem = rest
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     t = ty * ntx + tx
@@ -142,6 +150,10 @@ def _fwd_kernel(
             dma(1 - slot, ci + 1).start()
 
         dma(slot, ci).wait()
+        if checkpoint:
+            # T at this chunk's start: the backward pass replays each chunk
+            # from these instead of re-running the whole forward sweep.
+            tchk_ref[0, 0, ci] = t_cur
 
         # Unrolled by UNROLL splats per iteration: the per-splat alpha math
         # is independent (ILP for the VPU, batched SMEM scalar loads for the
@@ -201,6 +213,7 @@ def _bwd_kernel(
     payload_ref,   # (C_PAD, P_pad) HBM
     fwd_out_ref,   # (1, 1, 4, 8, 128) VMEM block (unused; kept for residual plumbing)
     dout_ref,      # (1, 1, 4, 8, 128) VMEM block
+    tchk_ref,      # (1, 1, max_chunks, 8, 128) VMEM block — fwd T checkpoints
     dpay_ref,      # (C_PAD, P_pad) HBM out
     buf,           # (2, C_PAD, chunk) SMEM in — scalar per-splat field reads
     vbuf,          # (2, C_PAD, chunk) VMEM in — same bytes, for MXU transpose
@@ -208,7 +221,6 @@ def _bwd_kernel(
     dtt,           # (chunk, C_PAD) VMEM — per-splat grads, splats on sublanes
     gmat,          # (N_SUMS*chunk, PACK_LANES) VMEM — per-splat lane-rows
     zbuf,          # (C_PAD, chunk) VMEM zeros for skipped chunks
-    tstart,        # (max_chunks, 8, 128) VMEM — transmittance at chunk starts
     tsplat,        # (chunk, 8, 128) VMEM — per-splat transmittance, one chunk
     asplat,        # (chunk, 8, 128) VMEM — per-splat alpha, one chunk
     sem,
@@ -227,17 +239,15 @@ def _bwd_kernel(
     The textbook 3DGS backward reconstructs per-splat transmittance by
     dividing the final T by (1−α) back-to-front; that collapses to zero for
     saturated pixels once T underflows (front splats then lose their
-    gradients entirely).  Instead:
-
-      * pass 1 re-runs the forward alpha sweep, checkpointing T at each
-        chunk start (``tstart``, ≤ tile_capacity/chunk snapshots in VMEM);
-      * pass 2 walks chunks in reverse; within a chunk it recomputes T (and
-        α, memoized for the gradient walk) forward from the checkpoint —
-        exact, same ops as the forward kernel — then emits gradients
-        back-to-front using the division-free identities
-            S_i/(1−α_i)       = T_i·s̃_i,   s̃_i = c_{i+1}α_{i+1} + (1−α_{i+1})s̃_{i+1}
-            T_final/(1−α_i)   = T_i·R_i,   R_i = Π_{j>i}(1−α_j)
-        so every quantity is a bounded product of forward values.
+    gradients entirely).  Instead the forward rule checkpoints T at every
+    chunk start (``tchk`` — the rasterizer's ``jax.checkpoint`` policy, at
+    ~4 KB HBM per chunk); the backward walks chunks in reverse, recomputes T
+    (and α, memoized for the gradient walk) forward from the checkpoint —
+    exact, same ops as the forward kernel — then emits gradients
+    back-to-front using the division-free identities
+        S_i/(1−α_i)       = T_i·s̃_i,   s̃_i = c_{i+1}α_{i+1} + (1−α_{i+1})s̃_{i+1}
+        T_final/(1−α_i)   = T_i·R_i,   R_i = Π_{j>i}(1−α_j)
+    so every quantity is a bounded product of forward values.
 
     Reduction strategy (the hot part): each of the 10 per-splat gradient
     scalars is a full (8,128)-pixel reduction.  Doing 10 tree-reductions per
@@ -308,36 +318,7 @@ def _bwd_kernel(
         == jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
     ).astype(jnp.float32)
 
-    # ---- pass 1: forward alpha sweep, checkpoint T at chunk starts ----
-    @pl.when(nused > 0)
-    def _():
-        dma_in(0, 0).start()
-
-    def p1_body(ci, t_cur):
-        slot = jax.lax.rem(ci, 2)
-
-        @pl.when(ci + 1 < nused)
-        def _():
-            dma_in(1 - slot, ci + 1).start()
-
-        dma_in(slot, ci).wait()
-        tstart[ci] = t_cur
-
-        def splat_body(k, t_c):
-            i0 = k * UNROLL
-            alphas = [
-                _splat_alpha(buf, slot, i0 + u, px, py, max_alpha, soft_cutoff)[0]
-                for u in range(UNROLL)
-            ]
-            for u in range(UNROLL):
-                t_c = t_c * (1.0 - alphas[u])
-            return t_c
-
-        return jax.lax.fori_loop(0, chunk // UNROLL, splat_body, t_cur)
-
-    jax.lax.fori_loop(0, nused, p1_body, ones)
-
-    # ---- pass 2: reverse chunks; exact within-chunk T/α replay; gradients ----
+    # ---- reverse chunk walk: exact within-chunk T/α replay; gradients ----
     @pl.when(nused > 0)
     def _():
         dma_in(jax.lax.rem(nused - 1, 2), nused - 1).start()
@@ -376,7 +357,7 @@ def _bwd_kernel(
                 t_c = t_c * (1.0 - alphas[u])
             return t_c
 
-        jax.lax.fori_loop(0, chunk // UNROLL, fill_body, tstart[ci])
+        jax.lax.fori_loop(0, chunk // UNROLL, fill_body, tchk_ref[0, 0, ci])
 
         def splat_body(jk, s):
             for u in range(UNROLL):
@@ -481,7 +462,7 @@ def _bwd_kernel(
         # opacity < 1/255 so the divide is safe for real pairs, and
         # sentinel pairs (op=0) have alpha ≡ 0.
         dtt[:, 9:10] = seg(9) * (1.0 / jnp.maximum(opv, 1e-20))
-        dtt[:, 10:16] = jnp.zeros((chunk, 6), jnp.float32)
+        dtt[:, C_USED:C_PAD] = jnp.zeros((chunk, C_PAD - C_USED), jnp.float32)
 
         # transpose back to payload layout (C_PAD, chunk) on the MXU.
         dbuf[oslot] = jax.lax.dot_general(
@@ -513,43 +494,63 @@ def _build_kernels(nty: int, ntx: int, p_pad: int, cfg: RenderConfig, interpret:
     """Compile-cached forward/backward pallas_call wrappers for a grid size."""
     num_tiles = nty * ntx
     chunk = cfg.chunk
+    max_chunks = cfg.tile_capacity // chunk
 
-    fwd_call = pl.pallas_call(
-        functools.partial(
-            _fwd_kernel,
-            ntx=ntx,
-            chunk=chunk,
-            max_alpha=cfg.max_alpha,
-            soft_cutoff=cfg.soft_cutoff,
-            t_eps=cfg.transmittance_eps,
-        ),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,  # tile_start, tile_count, row_offset
-            grid=(nty, ntx),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],  # payload stays in HBM
-            out_specs=[
-                pl.BlockSpec(
-                    (1, 1, 4, PACK_SUB, PACK_LANES),
-                    lambda i, j, *_: (i, j, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                # Full-array SMEM block: each program writes stop_ref[t]; the
-                # buffer persists across grid steps (constant block index).
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
-            scratch_shapes=[
-                pltpu.SMEM((2, C_PAD, chunk), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        ),
-        out_shape=[
+    def make_fwd(checkpoint: bool):
+        out_specs = [
+            pl.BlockSpec(
+                (1, 1, 4, PACK_SUB, PACK_LANES),
+                lambda i, j, *_: (i, j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            # Full-array SMEM block: each program writes stop_ref[t]; the
+            # buffer persists across grid steps (constant block index).
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        out_shape = [
             jax.ShapeDtypeStruct((nty, ntx, 4, PACK_SUB, PACK_LANES), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles,), jnp.int32),
-        ],
-        interpret=interpret,
-    )
+        ]
+        if checkpoint:
+            # Per-chunk transmittance checkpoints for the backward pass.
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, 1, max_chunks, PACK_SUB, PACK_LANES),
+                    lambda i, j, *_: (i, j, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            out_shape.append(
+                jax.ShapeDtypeStruct(
+                    (nty, ntx, max_chunks, PACK_SUB, PACK_LANES), jnp.float32
+                )
+            )
+        return pl.pallas_call(
+            functools.partial(
+                _fwd_kernel,
+                ntx=ntx,
+                chunk=chunk,
+                max_alpha=cfg.max_alpha,
+                soft_cutoff=cfg.soft_cutoff,
+                t_eps=cfg.transmittance_eps,
+                checkpoint=checkpoint,
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,  # tile_start, tile_count, row_offset
+                grid=(nty, ntx),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],  # payload in HBM
+                out_specs=out_specs,
+                scratch_shapes=[
+                    pltpu.SMEM((2, C_PAD, chunk), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            ),
+            out_shape=out_shape,
+            interpret=interpret,
+        )
 
-    max_chunks = cfg.tile_capacity // chunk
+    fwd_call = make_fwd(False)
+    fwd_chk_call = make_fwd(True)
     bwd_call = pl.pallas_call(
         functools.partial(
             _bwd_kernel,
@@ -574,6 +575,11 @@ def _build_kernels(nty: int, ntx: int, p_pad: int, cfg: RenderConfig, interpret:
                     lambda i, j, *_: (i, j, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),  # d_out
+                pl.BlockSpec(
+                    (1, 1, max_chunks, PACK_SUB, PACK_LANES),
+                    lambda i, j, *_: (i, j, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),  # tchk (fwd transmittance checkpoints)
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.HBM),  # d_payload
             scratch_shapes=[
@@ -583,7 +589,6 @@ def _build_kernels(nty: int, ntx: int, p_pad: int, cfg: RenderConfig, interpret:
                 pltpu.VMEM((chunk, C_PAD), jnp.float32),      # dtt
                 pltpu.VMEM((N_SUMS * chunk, PACK_LANES), jnp.float32),  # gmat
                 pltpu.VMEM((C_PAD, chunk), jnp.float32),      # zbuf
-                pltpu.VMEM((max_chunks, PACK_SUB, PACK_LANES), jnp.float32),
                 pltpu.VMEM((chunk, PACK_SUB, PACK_LANES), jnp.float32),  # tsplat
                 pltpu.VMEM((chunk, PACK_SUB, PACK_LANES), jnp.float32),  # asplat
                 pltpu.SemaphoreType.DMA((2,)),
@@ -596,7 +601,7 @@ def _build_kernels(nty: int, ntx: int, p_pad: int, cfg: RenderConfig, interpret:
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
-    return fwd_call, bwd_call
+    return fwd_call, fwd_chk_call, bwd_call
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -625,42 +630,23 @@ def composite_pairs_pallas(
       Packed tiles (nty, ntx, 4, 8, 128): premultiplied RGB + alpha, each
       32×32 tile packed as ``row = sublane + 8·(lane//32)``, ``col = lane%32``.
     """
-    fwd_call, _ = _build_kernels(nty, ntx, pair_payload.shape[1], config, interpret)
+    fwd_call, _, _ = _build_kernels(nty, ntx, pair_payload.shape[1], config, interpret)
     out, _ = fwd_call(tile_start, tile_count, row_offset, pair_payload)
     return out
 
 
 def _composite_fwd(pair_payload, tile_start, tile_count, row_offset, nty, ntx, config, interpret):
-    fwd_call, _ = _build_kernels(nty, ntx, pair_payload.shape[1], config, interpret)
-    out, used = fwd_call(tile_start, tile_count, row_offset, pair_payload)
-    return out, (pair_payload, tile_start, tile_count, row_offset, out, used)
-
-
-_DIFF_ROW_MASK = None
-
-
-def _diff_row_mask():
-    """(16, 1) mask of the differentiable payload rows (0..9).  The kernel
-    only writes gradient rows 0..9; rows 10..15 (depth/valid/extent metadata)
-    carry no compositing gradient and must be zeroed, not left as
-    uninitialized staging-buffer content."""
-    global _DIFF_ROW_MASK
-    if _DIFF_ROW_MASK is None:
-        import numpy as np
-
-        m = np.zeros((C_PAD, 1), np.float32)
-        m[:10] = 1.0
-        _DIFF_ROW_MASK = m
-    return _DIFF_ROW_MASK
+    _, fwd_chk_call, _ = _build_kernels(nty, ntx, pair_payload.shape[1], config, interpret)
+    out, used, tchk = fwd_chk_call(tile_start, tile_count, row_offset, pair_payload)
+    return out, (pair_payload, tile_start, tile_count, row_offset, out, used, tchk)
 
 
 def _composite_bwd(nty, ntx, config, interpret, res, g):
-    pair_payload, tile_start, tile_count, row_offset, out, used = res
-    _, bwd_call = _build_kernels(nty, ntx, pair_payload.shape[1], config, interpret)
-    d_payload = bwd_call(tile_start, tile_count, used, row_offset, pair_payload, out, g)
-    # where (not multiply): staging rows 10..15 may hold NaN in interpreter
-    # mode and NaN·0 = NaN.
-    d_payload = jnp.where(_diff_row_mask() > 0, d_payload, 0.0)
+    pair_payload, tile_start, tile_count, row_offset, out, used, tchk = res
+    _, _, bwd_call = _build_kernels(nty, ntx, pair_payload.shape[1], config, interpret)
+    d_payload = bwd_call(
+        tile_start, tile_count, used, row_offset, pair_payload, out, g, tchk
+    )
     return d_payload, None, None, None
 
 

@@ -17,12 +17,10 @@ one index per cycle-ish).  This kernel does the same reduction in a few ms:
   overlap neighbouring blocks' pairs; the compare simply zeroes them, so no
   masking or alignment fixups are needed.
 
-The per-pair compact id rides in **payload row 15** (exact in f32 below
-2^24), keeping pairs on the lane axis end to end: a separate integer side
-array would need either a lane→sublane relayout in-kernel or a (P, 1)
-layout that Mosaic pads 128× in HBM.  Rows 10..15 of the result are zeroed
-(they are non-differentiable metadata rows; row 15 doubles as the cid
-carrier).
+The per-pair compact id rides as an **extra payload row** (exact in f32
+below 2^24), keeping pairs on the lane axis end to end: a separate integer
+side array would need either a lane→sublane relayout in-kernel or a (P, 1)
+layout that Mosaic pads 128× in HBM.
 
 Accumulation order within a splat is the fixed chunk-major order — bit-wise
 deterministic for a given binning, independent of device count.
@@ -34,11 +32,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-C_PAD = 16   # payload rows (matches ops/pallas/composite.C_PAD)
+C_SS = 16    # kernel payload rows: gradients (0..9) + cid carrier (row 15).
+             # XLA/Mosaic tile the sublane dim to 8, so 16 rows DMA as
+             # cheaply as 10 would — and gathers are per-query-bound anyway.
 ROW_CID = 15  # payload row carrying the per-pair compact splat id (f32)
 BLK = 128    # compact splats per grid program
 CHK = 256    # pairs per DMA chunk
@@ -46,10 +45,10 @@ CHK = 256    # pairs per DMA chunk
 
 def _segsum_kernel(
     bstart_ref,   # (nblocks+1,) int32 scalar-prefetch: pair window per block
-    dpay_ref,     # (C_PAD, Pq) f32 HBM — per-pair gradients, expansion order;
+    dpay_ref,     # (C_SS, Pq) f32 HBM — per-pair gradients, expansion order;
                   # row 15 = compact splat id (f32)
-    out_ref,      # (C_PAD, BLK) VMEM block — per-compact-splat sums
-    buf,          # (2, C_PAD, CHK) f32 VMEM scratch
+    out_ref,      # (C_SS, BLK) VMEM block — per-compact-splat sums
+    buf,          # (2, C_SS, CHK) f32 VMEM scratch
     sem,
 ):
     p = pl.program_id(0)
@@ -92,7 +91,7 @@ def _segsum_kernel(
         return acc + part
 
     acc = jax.lax.fori_loop(
-        0, nchunks, body, jnp.zeros((C_PAD, BLK), jnp.float32)
+        0, nchunks, body, jnp.zeros((C_SS, BLK), jnp.float32)
     )
     out_ref[...] = acc
 
@@ -106,40 +105,26 @@ def _build_segsum(nblocks: int, p_q: int, interpret: bool):
             grid=(nblocks,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=pl.BlockSpec(
-                (C_PAD, BLK), lambda p, *_: (0, p), memory_space=pltpu.VMEM
+                (C_SS, BLK), lambda p, *_: (0, p), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, C_PAD, CHK), jnp.float32),
+                pltpu.VMEM((2, C_SS, CHK), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((C_PAD, nblocks * BLK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((C_SS, nblocks * BLK), jnp.float32),
         interpret=interpret,
     )
 
 
-_ROW_MASK = None
-
-
-def _diff_row_mask():
-    """(16, 1) mask of differentiable payload rows (0..9); rows 10..15 are
-    metadata (row 15 additionally carries the cid) with zero cotangent."""
-    global _ROW_MASK
-    if _ROW_MASK is None:
-        m = np.zeros((C_PAD, 1), np.float32)
-        m[:10] = 1.0
-        _ROW_MASK = m
-    return _ROW_MASK
-
-
 def segsum_by_splat(
-    d_exp: jnp.ndarray,      # (C_PAD, budget) f32 — pair grads, expansion order
+    d_exp: jnp.ndarray,      # (C_SS, budget) f32 — pair grads, expansion order
     exp_offsets: jnp.ndarray,  # (N,) int32 — splat s's pairs at [off, off+cnt)
     exp_counts: jnp.ndarray,   # (N,) int32
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Sum pair-gradient columns per splat.  Returns (C_PAD, N) f32 with
-    rows 10..15 zero."""
+    """Sum pair-gradient columns per splat.  Returns (C_SS, N) f32 (row 15
+    carries a meaningless cid reduction — callers use rows 0..9)."""
     n = exp_offsets.shape[0]
     budget = d_exp.shape[1]
     total = jnp.minimum(
@@ -167,24 +152,18 @@ def segsum_by_splat(
     ].set(exp_offsets, mode="drop")
     bstart = coff[::BLK]  # (nblocks+1,)
 
-    # Stash the cid in row 15 (exact in f32: cid < 2^24) and pad the pair
-    # axis to the DMA chunk size (padding cid −1 never matches any block).
-    d_exp = d_exp.at[ROW_CID, :].set(cid_pair.astype(jnp.float32))
+    # Stash the cid in row 15 (exact in f32: cid < 2^24; row 15 is a zeroed
+    # metadata row) and pad the pair axis to the DMA chunk size (padding cid
+    # −1 never matches any block).
     p_q = -(-budget // CHK) * CHK
+    cid_f = cid_pair.astype(jnp.float32)
     if p_q != budget:
-        d_exp = jnp.concatenate(
-            [
-                d_exp,
-                jnp.broadcast_to(
-                    np.array([[0.0]] * ROW_CID + [[-1.0]], np.float32),
-                    (C_PAD, p_q - budget),
-                ),
-            ],
-            axis=1,
-        )
+        d_exp = jnp.pad(d_exp, ((0, 0), (0, p_q - budget)))
+        cid_f = jnp.pad(cid_f, (0, p_q - budget), constant_values=-1.0)
+    d_exp = d_exp.at[ROW_CID, :].set(cid_f)
 
     call = _build_segsum(nblocks, p_q, interpret)
-    d_comp = call(bstart, d_exp)  # (C_PAD, nblocks*BLK)
+    d_comp = call(bstart, d_exp)  # (C_SS, nblocks*BLK)
 
     d = jnp.take(d_comp, jnp.maximum(cid_splat, 0), axis=1)
-    return jnp.where(nonzero[None, :], d, 0.0) * _diff_row_mask()
+    return jnp.where(nonzero[None, :], d, 0.0)

@@ -82,6 +82,53 @@ def full_fwd(s):
 timeit("FULL fwd", full_fwd, splats)
 
 
+from gsplat_tpu.ops.pair_gather import gather_pairs
+
+binned_g = jax.jit(
+    lambda p: bin_splats(p, W, H, cfg, with_tiles=False, with_grad_map=True)
+)(san)
+
+
+def gp(p, b):
+    fields = jnp.concatenate([p.fields, jnp.zeros((16, 1), jnp.float32)], axis=1)
+    return gather_pairs(
+        fields, b.pair_splat, b.dest_of_exp, b.exp_offsets, b.exp_counts, False
+    )
+
+
+def gp_bwd(p, b):
+    def loss(f_):
+        p2 = ProjectedSplats(fields=f_)
+        return jnp.sum(gp(p2, b))
+
+    return jax.grad(loss)(p.fields)
+
+
+timeit("bin (grad map)", lambda p: bin_splats(p, W, H, cfg, with_tiles=False, with_grad_map=True), san)
+timeit("gather_pairs fwd", gp, san, binned_g)
+timeit("gather_pairs fwd+bwd", gp_bwd, san, binned_g)
+
+
+def sort_bwd(p):
+    def loss(f_):
+        return jnp.sum(sort_by_depth(sanitize_projected(ProjectedSplats(fields=f_))).fields)
+
+    return jax.grad(loss)(p.fields)
+
+
+timeit("sanitize+sort fwd+bwd", sort_bwd, proj)
+
+
+def proj_bwd(s):
+    def loss(s_):
+        return jnp.sum(project_splats(s_, cam, cfg.sh_order).fields[:10])
+
+    return jax.grad(loss)(s)
+
+
+timeit("project fwd+bwd", proj_bwd, splats)
+
+
 def comp_bwd(pay, b):
     def loss(p_):
         return jnp.sum(comp(p_, b)[..., :3])
