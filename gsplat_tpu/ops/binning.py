@@ -14,10 +14,21 @@ static-shape XLA primitives:
   3. one stable sort by tile id — splats are already in global depth order,
      so stability alone yields per-tile front-to-back order identical to the
      reference's single global sort (``src/GSplatRenderer.C:176-216``);
-  4. chunk-aligned re-layout: every tile's segment starts at a multiple of
-     ``config.chunk`` and is sentinel-padded to the next multiple, so the
-     Pallas kernels can DMA fixed-size chunks that never touch a
-     neighbouring tile's rows (the backward kernel *writes* chunk-wise).
+  4. **no re-layout**: the sorted pair order IS the final layout.  Each
+     tile's segment ``[start, start+count)`` is described to the Pallas
+     kernels by its chunk-aligned DMA base ``base = start − φ`` and lead
+     phase ``φ = start mod chunk``; the kernels mask the φ lead lanes and
+     the tail lanes (they belong to neighbouring tiles).  This replaces the
+     former chunk-aligned scatter of all pairs — a ~27 ms 4M-query scatter
+     at 1M splats — with O(T) descriptor math.
+
+     The backward kernel still needs an exclusive, chunk-aligned region per
+     tile to WRITE per-pair gradients without races: ``grad_base`` lays out
+     a separate gradient address space (one region per tile, sized from the
+     *raw* per-tile counts so the region offsets stay monotone even when
+     ``tile_capacity`` truncates a tile — see the monotonicity proof at
+     ``seg_desc`` below).  ``dest_of_exp`` maps expansion pairs into that
+     space for the segment-reduce VJP (``ops/pallas/segsum.py``).
 
 Overflow policy mirrors the reference's budget cull (2^23 splats, excess
 culled with a warning — ``src/GSplatRenderer.C:366-376``): pairs beyond the
@@ -49,26 +60,40 @@ from .projection import (
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BinnedPairs:
-    """Static-shape binning result.
+    """Static-shape binning result (pairs stay in tile-sorted order).
 
     ``pair_splat[k]``: depth-rank index (into the sorted splat arrays) of the
-    k-th pair; pairs are grouped by tile (contiguous chunk-aligned segments)
-    and front-to-back within each tile.  Invalid/padding pairs hold
-    ``num_splats`` (a benign zero payload column).  ``tile_start/tile_count``
-    delimit each tile's segment (count already capped at ``tile_capacity``).
+    k-th pair; pairs are grouped by tile (ascending tile id) and
+    front-to-back within each tile.  Invalid/padding pairs hold
+    ``num_splats`` (a benign zero payload column).
+
+    Per-tile segment descriptors (all ``(T,) int32``):
+      * ``tile_start`` — raw (unaligned) first pair of the tile's segment;
+      * ``tile_count`` — segment length, capped at ``tile_capacity``;
+      * ``tile_base``  — chunk-aligned DMA base, ``tile_start − tile_phi``;
+      * ``tile_phi``   — lead phase, ``tile_start mod chunk``;
+      * ``tile_span``  — ``phi + count`` (0 for empty tiles): the number of
+        pair lanes a kernel walks from ``tile_base``, lanes ``< phi`` and
+        ``≥ span`` masked off;
+      * ``grad_base``  — chunk-aligned base of the tile's exclusive region
+        in the gradient address space (size ``grad_pad_size(...)``).
 
     With ``with_grad_map=True`` the expansion-order gradient map is also
-    produced (see ``ops/pair_gather.py``): ``dest_of_exp[j]`` is the payload
-    column of expansion pair j (``p_pad`` if dropped), and
+    produced: ``dest_of_exp[j]`` is the *gradient-space* slot of expansion
+    pair j (the sentinel ``grad_pad_size(...)`` if dropped), and
     ``exp_offsets/exp_counts`` delimit each splat's contiguous pair segment
-    in expansion order — the pieces the custom VJP needs to segment-reduce
-    per-pair gradients back to per-splat gradients without a scatter-add.
+    in expansion order — the pieces the segment-reduce VJP needs to turn
+    per-pair gradients into per-splat gradients without a scatter-add.
     """
 
-    pair_splat: jax.Array    # (P_pad,) int32
+    pair_splat: jax.Array    # (P_pad,) int32 — tile-sorted order
     pair_tile: jax.Array     # (P_pad,) int32 (num_tiles = sentinel); None unless with_tiles
-    tile_start: jax.Array    # (T,) int32 — chunk-aligned
-    tile_count: jax.Array    # (T,) int32 — real (un-padded) per-tile count
+    tile_start: jax.Array    # (T,) int32 — raw segment starts
+    tile_count: jax.Array    # (T,) int32 — capped per-tile count
+    tile_base: jax.Array     # (T,) int32 — chunk-aligned DMA base
+    tile_phi: jax.Array      # (T,) int32 — start mod chunk
+    tile_span: jax.Array     # (T,) int32 — phi + count (0 if empty)
+    grad_base: jax.Array     # (T,) int32 — gradient-space region base
     dropped_pairs: jax.Array  # () int32 — budget + capacity overflow
     dest_of_exp: jax.Array = None   # (budget,) int32; None unless with_grad_map
     exp_offsets: jax.Array = None   # (N,) int32; None unless with_grad_map
@@ -82,6 +107,18 @@ class BinnedPairs:
 def tile_grid(width: int, height: int, tile_h: int, tile_w: int) -> Tuple[int, int]:
     """Number of tiles (rows, cols) covering the screen."""
     return -(-height // tile_h), -(-width // tile_w)
+
+
+def pair_pad_size(budget: int, chunk: int) -> int:
+    """Static padded pair-array length: the last tile's final chunk may read
+    past ``budget`` (``base + ceil(span/chunk)·chunk ≤ budget + chunk``)."""
+    return -(-budget // chunk) * chunk + chunk
+
+
+def grad_pad_size(budget: int, num_tiles: int, chunk: int) -> int:
+    """Static size of the gradient address space: per tile the region wastes
+    at most ``φ + (chunk−1)`` slots beyond its raw count, and Σ raw ≤ budget."""
+    return -(-(budget + num_tiles * 2 * (chunk - 1)) // chunk) * chunk + chunk
 
 
 def bin_splats(
@@ -188,58 +225,68 @@ def bin_splats(
             (tile, splat_of_pair), num_keys=1, is_stable=True
         )
 
-    # Segment boundaries per tile (in the sorted, unaligned pair order).
-    # 2k queries into the sorted pair array — cheap (log-rounds of tiny
-    # gathers), unlike per-pair searchsorted.
+    # Segment boundaries per tile (in the sorted pair order).  2k queries
+    # into the sorted pair array — cheap (log-rounds of tiny gathers),
+    # unlike per-pair searchsorted.
     tile_ids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
     starts = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
-    raw_count = starts[1:] - starts[:-1]
+    sb = starts[:-1]
+    raw_count = starts[1:] - sb
     tile_count = jnp.minimum(raw_count, config.tile_capacity)
 
-    # Re-layout into chunk-aligned segments: tile t's pairs live at
-    # [aligned_start[t], aligned_start[t] + count[t]), padded with the
-    # sentinel up to a multiple of `chunk`.
+    # Unaligned-segment descriptors — O(T) math, no pair re-layout.
     chunk = config.chunk
-    padded_count = -(-tile_count // chunk) * chunk
-    aligned_start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_count).astype(jnp.int32)]
+    phi = sb % chunk
+    base = sb - phi
+    span = jnp.where(tile_count > 0, phi + tile_count, 0)
+
+    p_pad = pair_pad_size(budget, chunk)
+    pair_splat = jnp.concatenate(
+        [splat_sorted, jnp.full((p_pad - budget,), n, jnp.int32)]
     )
-    # Rounded up to a chunk multiple so the transposed (16, P_pad) payload
-    # has a 128-aligned minor dimension (Pallas HBM slice constraint).
-    p_pad = -(-(budget + num_tiles * (chunk - 1) + chunk) // chunk) * chunk
-
-    # Per-sorted-pair segment descriptors WITHOUT per-pair gathers (a 4M-query
-    # gather costs ~35 ms on TPU; a 2k-element boundary scatter + cummax costs
-    # ~7 ms): scatter each tile's descriptor at its segment start and cummax.
-    # Both scattered values are monotone non-decreasing in tile id —
-    # ``delta[t] = aligned_start[t] − starts[t] = Σ_{t'<t}(padded−count) ≥ 0``
-    # and ``capped_end[t] = starts[t] + tile_count[t]`` — so ties at shared
-    # start positions (empty tiles) resolve to the owning (largest) tile and
-    # the running max reproduces the piecewise-constant per-pair descriptor
-    # exactly.  ``dest = pair_idx + delta`` then needs no third chain.
-    sb = starts[:-1]
-
-    def seg_desc(values):
-        m = jnp.zeros((budget,), jnp.int32).at[sb].max(values, mode="drop")
-        return jax.lax.cummax(m)
-
-    delta = seg_desc(aligned_start[:-1] - sb)            # aligned − raw start
-    cap_end = seg_desc(sb + tile_count)                  # capped segment end
-    keep = pair_idx < cap_end                            # capacity + sentinel
-    dest = jnp.where(keep, pair_idx + delta, p_pad)
-    pair_splat = jnp.full((p_pad,), n, dtype=jnp.int32).at[dest].set(
-        splat_sorted, mode="drop"
-    )
-    # pair_tile is only needed by the dense-tile-list (XLA) backend and
-    # debugging; the Pallas path skips this second scatter.
     pair_tile = None
     if with_tiles:
-        pair_tile = jnp.full((p_pad,), num_tiles, dtype=jnp.int32).at[dest].set(
-            tile_sorted, mode="drop"
+        pair_tile = jnp.concatenate(
+            [tile_sorted, jnp.full((p_pad - budget,), num_tiles, jnp.int32)]
         )
+
+    # Gradient address space: tile t's exclusive region starts at
+    # grad_base[t], sized ceil((φ + raw)/chunk)·chunk.  Sizing from the RAW
+    # count (not the capped one) keeps the per-tile shift
+    # delta[t] = grad_base[t] + φ[t] − start[t] monotone non-decreasing:
+    #   delta[t+1] − delta[t] = gpad[t] − raw[t] + φ[t+1] − φ[t]
+    #                         ≥ (φ[t] + raw[t]) − raw[t] + φ[t+1] − φ[t]
+    #                         = φ[t+1] ≥ 0,
+    # (and = φ[t+1] − φ[t] = 0 when raw[t] = 0), which the cummax-based
+    # per-pair broadcast below requires.  Σ raw ≤ budget keeps the total
+    # bounded by grad_pad_size.
+    gpad_t = jnp.where(raw_count > 0, (-(-(phi + raw_count) // chunk)) * chunk, 0)
+    grad_base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(gpad_t).astype(jnp.int32)]
+    )[:-1]
+
     dest_of_exp = None
     if with_grad_map:
-        dest_of_exp = jnp.full((budget,), p_pad, dtype=jnp.int32).at[
+        g_pad = grad_pad_size(budget, num_tiles, chunk)
+
+        # Per-sorted-pair segment descriptors WITHOUT per-pair gathers (a
+        # 4M-query gather costs ~35 ms on TPU; a 2k-element boundary scatter
+        # + cummax costs ~5 ms): scatter each tile's descriptor at its
+        # segment start and cummax.  Both scattered value sequences are
+        # monotone non-decreasing in tile id (delta: proof above; capped
+        # ends: starts[t+1] ≥ starts[t] + tile_count[t]), so ties at shared
+        # start positions (empty tiles) resolve to the owning (largest) tile
+        # and the running max reproduces the piecewise-constant per-pair
+        # descriptor exactly.
+        def seg_desc(values):
+            m = jnp.zeros((budget,), jnp.int32).at[sb].max(values, mode="drop")
+            return jax.lax.cummax(m)
+
+        delta = seg_desc(grad_base + phi - sb)   # sorted pos → gradient slot
+        cap_end = seg_desc(sb + tile_count)      # capped segment end
+        keep = pair_idx < cap_end                # capacity + sentinel pairs
+        dest = jnp.where(keep, pair_idx + delta, g_pad)
+        dest_of_exp = jnp.full((budget,), g_pad, dtype=jnp.int32).at[
             eidx_sorted
         ].set(dest, mode="drop")
 
@@ -249,8 +296,12 @@ def bin_splats(
     return BinnedPairs(
         pair_splat=pair_splat,
         pair_tile=pair_tile,
-        tile_start=aligned_start[:-1],
+        tile_start=sb,
         tile_count=tile_count,
+        tile_base=base,
+        tile_phi=phi,
+        tile_span=span,
+        grad_base=grad_base,
         dropped_pairs=dropped.astype(jnp.int32),
         dest_of_exp=dest_of_exp,
         exp_offsets=offsets if with_grad_map else None,

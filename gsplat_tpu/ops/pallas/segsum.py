@@ -7,7 +7,8 @@ columns.  XLA lowers that as ``zeros.at[:, pair_splat].add(d_payload)`` — a
 one index per cycle-ish).  This kernel does the same reduction in a few ms:
 
 * pairs are first permuted to **expansion order** (grouped by splat,
-  contiguous segments — one 16-row gather, see ``ops/pair_gather``);
+  contiguous segments — one 16-row gather through ``BinnedPairs.dest_of_exp``,
+  see the ``composite_splats_pallas`` VJP in ``ops/pallas/composite.py``);
 * splats with ≥1 pair get dense **compact ids**; each grid program owns a
   block of B compact splats and walks its pair window in C-pair chunks;
 * within a chunk the ragged per-splat reduction is a single MXU matmul

@@ -35,8 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.camera import Camera
 from ..models.splats import GaussianSplats
 from ..ops.binning import bin_splats, tile_grid
-from ..ops.pair_gather import gather_pairs
-from ..ops.pallas.composite import composite_pairs_pallas, unpack_image
+from ..ops.pallas.composite import composite_splats_pallas, unpack_image
 from ..ops.projection import ProjectedSplats, project_splats
 from ..ops.rasterize_ref import sanitize_projected
 from ..ops.rasterize_tiles import (
@@ -120,17 +119,16 @@ def _render_strip(
         fields = jnp.concatenate(
             [p.fields, jnp.zeros((p.fields.shape[0], 1), jnp.float32)], axis=1
         )
-        pair_payload = gather_pairs(
+        packed = composite_splats_pallas(
             fields,
             binned.pair_splat,
+            binned.tile_base,
+            binned.tile_phi,
+            binned.tile_span,
+            binned.grad_base,
             binned.dest_of_exp,
             binned.exp_offsets,
             binned.exp_counts,
-        )
-        packed = composite_pairs_pallas(
-            pair_payload,
-            binned.tile_start,
-            binned.tile_count,
             jnp.reshape(row_offset, (1,)).astype(jnp.int32),
             nty,
             ntx,

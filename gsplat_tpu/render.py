@@ -21,8 +21,7 @@ import jax.numpy as jnp
 from .models.camera import Camera
 from .models.splats import GaussianSplats
 from .ops.binning import bin_splats, tile_grid
-from .ops.pair_gather import gather_pairs
-from .ops.pallas.composite import composite_pairs_pallas, unpack_image
+from .ops.pallas.composite import composite_splats_pallas, unpack_image
 from .ops.permute import permute_cols
 from .ops.projection import ProjectedSplats, project_splats
 from .ops.rasterize_ref import render_reference, sanitize_projected
@@ -56,26 +55,23 @@ def render_pallas(
     )
     nty, ntx = tile_grid(camera.width, camera.height, config.tile_h, config.tile_w)
 
-    # Pair payload (16, P_pad): the projected field matrix + a benign zero
-    # sentinel column, gathered into chunk-aligned per-tile segments.  The
-    # custom VJP turns the gradient scatter-add into a segment reduction
-    # (ops/pair_gather.py) — ~10× faster on TPU.
+    # Fused rasterization tail: payload gather (16-row, tile-sorted order —
+    # the binning does no pair re-layout) + compositing kernel, one custom
+    # VJP whose backward reads the kernel's gradient address space and
+    # segment-reduces per splat (~10× faster than XLA's scatter-add).
     fields = jnp.concatenate(
         [p.fields, jnp.zeros((p.fields.shape[0], 1), jnp.float32)], axis=1
     )
-    pair_payload = gather_pairs(
+    packed = composite_splats_pallas(
         fields,
         binned.pair_splat,
+        binned.tile_base,
+        binned.tile_phi,
+        binned.tile_span,
+        binned.grad_base,
         binned.dest_of_exp,
         binned.exp_offsets,
         binned.exp_counts,
-        interpret,
-    )
-
-    packed = composite_pairs_pallas(
-        pair_payload,
-        binned.tile_start,
-        binned.tile_count,
         jnp.zeros((1,), jnp.int32),
         nty,
         ntx,

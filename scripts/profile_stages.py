@@ -67,7 +67,8 @@ nty, ntx = tile_grid(W, H, cfg.tile_h, cfg.tile_w)
 
 def comp(pay, b):
     packed = composite_pairs_pallas(
-        pay, b.tile_start, b.tile_count, jnp.zeros((1,), jnp.int32), nty, ntx, cfg, False
+        pay, b.tile_base, b.tile_phi, b.tile_span, jnp.zeros((1,), jnp.int32),
+        nty, ntx, cfg, False
     )
     return unpack_image(packed, H, W)
 
@@ -82,31 +83,33 @@ def full_fwd(s):
 timeit("FULL fwd", full_fwd, splats)
 
 
-from gsplat_tpu.ops.pair_gather import gather_pairs
+from gsplat_tpu.ops.pallas.composite import composite_splats_pallas
 
 binned_g = jax.jit(
     lambda p: bin_splats(p, W, H, cfg, with_tiles=False, with_grad_map=True)
 )(san)
 
 
-def gp(p, b):
-    fields = jnp.concatenate([p.fields, jnp.zeros((16, 1), jnp.float32)], axis=1)
-    return gather_pairs(
-        fields, b.pair_splat, b.dest_of_exp, b.exp_offsets, b.exp_counts, False
+def csp(f_, b):
+    packed = composite_splats_pallas(
+        f_, b.pair_splat, b.tile_base, b.tile_phi, b.tile_span, b.grad_base,
+        b.dest_of_exp, b.exp_offsets, b.exp_counts,
+        jnp.zeros((1,), jnp.int32), nty, ntx, cfg, False
     )
+    return unpack_image(packed, H, W)
 
 
-def gp_bwd(p, b):
+def csp_bwd(p, b):
+    fields = jnp.concatenate([p.fields, jnp.zeros((16, 1), jnp.float32)], axis=1)
+
     def loss(f_):
-        p2 = ProjectedSplats(fields=f_)
-        return jnp.sum(gp(p2, b))
+        return jnp.sum(csp(f_, b)[..., :3])
 
-    return jax.grad(loss)(p.fields)
+    return jax.grad(loss)(fields)
 
 
 timeit("bin (grad map)", lambda p: bin_splats(p, W, H, cfg, with_tiles=False, with_grad_map=True), san)
-timeit("gather_pairs fwd", gp, san, binned_g)
-timeit("gather_pairs fwd+bwd", gp_bwd, san, binned_g)
+timeit("gather+composite+segsum fwd+bwd", csp_bwd, san, binned_g)
 
 
 def sort_bwd(p):
@@ -127,16 +130,6 @@ def proj_bwd(s):
 
 
 timeit("project fwd+bwd", proj_bwd, splats)
-
-
-def comp_bwd(pay, b):
-    def loss(p_):
-        return jnp.sum(comp(p_, b)[..., :3])
-
-    return jax.grad(loss)(pay)
-
-
-timeit("composite fwd+bwd", comp_bwd, payload, binned)
 
 
 def full_fb(s):

@@ -33,10 +33,23 @@ class TestBinning:
         ps = np.asarray(binned.pair_splat)
         nty, ntx = tile_grid(cam.width, cam.height, CFG.tile_h, CFG.tile_w)
         t = nty * ntx
-        # valid pairs form ascending tile segments (sentinel padding between)
+        # valid pairs form ascending tile segments (sorted order, no gaps)
         assert (np.diff(pt[pt < t]) >= 0).all()
-        # chunk-aligned segment starts
-        assert (np.asarray(binned.tile_start) % CFG.chunk == 0).all()
+        # DMA base is chunk-aligned; start = base + phi; span = phi + count
+        base = np.asarray(binned.tile_base)
+        phi = np.asarray(binned.tile_phi)
+        span = np.asarray(binned.tile_span)
+        starts_ = np.asarray(binned.tile_start)
+        counts_ = np.asarray(binned.tile_count)
+        assert (base % CFG.chunk == 0).all()
+        assert (starts_ == base + phi).all()
+        np.testing.assert_array_equal(
+            span, np.where(counts_ > 0, phi + counts_, 0)
+        )
+        # gradient regions: chunk-aligned, exclusive, in tile order
+        gb = np.asarray(binned.grad_base)
+        assert (gb % CFG.chunk == 0).all()
+        assert (np.diff(gb) >= 0).all()
         # within a tile, splat rank (== depth order) strictly increases
         for tile in np.unique(pt[pt < t]):
             seg = ps[pt == tile]
