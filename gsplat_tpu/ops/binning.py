@@ -64,8 +64,10 @@ class BinnedPairs:
 
     ``pair_splat[k]``: depth-rank index (into the sorted splat arrays) of the
     k-th pair; pairs are grouped by tile (ascending tile id) and
-    front-to-back within each tile.  Invalid/padding pairs hold
-    ``num_splats`` (a benign zero payload column).
+    front-to-back within each tile.  Invalid/padding pairs hold *spread*
+    in-range dummy indices (their payload is never read unmasked; a shared
+    sentinel column would serialize the payload gather — see ``bin_splats``).
+    Use ``pair_tile == num_tiles`` to identify them, not ``pair_splat``.
 
     Per-tile segment descriptors (all ``(T,) int32``):
       * ``tile_start`` — raw (unaligned) first pair of the tile's segment;
@@ -80,7 +82,7 @@ class BinnedPairs:
 
     With ``with_grad_map=True`` the expansion-order gradient map is also
     produced: ``dest_of_exp[j]`` is the *gradient-space* slot of expansion
-    pair j (the sentinel ``grad_pad_size(...)`` if dropped), and
+    pair j (``~j``, negative, if dropped — decode with sign + bitwise-not), and
     ``exp_offsets/exp_counts`` delimit each splat's contiguous pair segment
     in expansion order — the pieces the segment-reduce VJP needs to turn
     per-pair gradients into per-splat gradients without a scatter-add.
@@ -211,7 +213,17 @@ def bin_splats(
     tile = g3[2] + dty * ntx + dtx
     pair_valid = pair_idx < total
     tile = jnp.where(pair_valid, tile, num_tiles)
-    splat_of_pair = jnp.where(pair_valid, s_safe, n)
+    # Invalid pairs point at *spread* real columns instead of one shared
+    # sentinel column: a gather with millions of duplicate queries to a
+    # single column serializes on TPU (~1.7× measured at 4M pairs with 37%
+    # sentinels).  Safe because an invalid pair's payload is never read
+    # unmasked — it sorts past every tile's span (the compositing kernels
+    # force its opacity to 0) and ``build_tile_lists`` drops it by its
+    # sentinel TILE id — so the payload only has to be finite, which every
+    # sanitized splat column is.
+    spread_mask = (1 << max(int(n).bit_length() - 1, 0)) - 1
+    spread = jnp.minimum(pair_idx & spread_mask, n - 1)
+    splat_of_pair = jnp.where(pair_valid, s_safe, spread)
 
     # One stable sort by tile groups pairs per tile while preserving the
     # global front-to-back order within each tile.  The expansion index rides
@@ -241,9 +253,8 @@ def bin_splats(
     span = jnp.where(tile_count > 0, phi + tile_count, 0)
 
     p_pad = pair_pad_size(budget, chunk)
-    pair_splat = jnp.concatenate(
-        [splat_sorted, jnp.full((p_pad - budget,), n, jnp.int32)]
-    )
+    tail = jnp.arange(p_pad - budget, dtype=jnp.int32) & spread_mask
+    pair_splat = jnp.concatenate([splat_sorted, jnp.minimum(tail, n - 1)])
     pair_tile = None
     if with_tiles:
         pair_tile = jnp.concatenate(
@@ -285,10 +296,14 @@ def bin_splats(
         delta = seg_desc(grad_base + phi - sb)   # sorted pos → gradient slot
         cap_end = seg_desc(sb + tile_count)      # capped segment end
         keep = pair_idx < cap_end                # capacity + sentinel pairs
-        dest = jnp.where(keep, pair_idx + delta, g_pad)
-        dest_of_exp = jnp.full((budget,), g_pad, dtype=jnp.int32).at[
-            eidx_sorted
-        ].set(dest, mode="drop")
+        # Dropped pairs encode a *spread* dummy query as the bitwise-not of
+        # their own expansion index (negative ⇒ distinguishable by sign;
+        # ~d = j < budget < g_pad stays in gather range).  A single shared
+        # sentinel column would serialize the VJP's 4M-query gather (same
+        # duplicate-query hotspot as ``splat_of_pair`` above); the gathered
+        # garbage is masked with ``where`` (NaN-safe) in the VJP.
+        dest = jnp.where(keep, pair_idx + delta, ~eidx_sorted)
+        dest_of_exp = (~pair_idx).at[eidx_sorted].set(dest, mode="drop")
 
     dropped = jnp.maximum((cum[-1] if n > 0 else 0) - budget, 0) + jnp.sum(
         raw_count - tile_count

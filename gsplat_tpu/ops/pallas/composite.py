@@ -697,7 +697,7 @@ def _diff_row_mask():
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
 def composite_splats_pallas(
-    fields_ext: jnp.ndarray,    # (16, N+1) f32 — projected fields + zero col
+    fields: jnp.ndarray,        # (16, N) f32 — projected field matrix
     pair_splat: jnp.ndarray,    # (P_pad,) int32 — tile-sorted pair → splat
     tile_base: jnp.ndarray,     # (T,) int32
     tile_phi: jnp.ndarray,      # (T,) int32
@@ -719,12 +719,12 @@ def composite_splats_pallas(
     VJP reads the backward kernel's gradient address space through
     ``dest_of_exp`` and segment-reduces per-splat with the MXU one-hot
     kernel (``ops/pallas/segsum.py``) — ~10× faster than XLA's scatter-add
-    transpose.  Gradients flow to ``fields_ext`` only.
+    transpose.  Gradients flow to ``fields`` only.
 
     When not differentiated, XLA dead-code-eliminates the gradient-map
     arguments (and their binning cost) automatically.
     """
-    payload = fields_ext[:, pair_splat]
+    payload = fields[:, pair_splat]
     fwd_call, _, _ = _build_kernels(
         nty, ntx, payload.shape[1], 0, config, interpret
     )
@@ -733,12 +733,12 @@ def composite_splats_pallas(
 
 
 def _csp_fwd(
-    fields_ext, pair_splat, tile_base, tile_phi, tile_span, grad_base,
+    fields, pair_splat, tile_base, tile_phi, tile_span, grad_base,
     dest_of_exp, exp_offsets, exp_counts, row_offset, nty, ntx, config, interpret,
 ):
     from ..binning import grad_pad_size  # local import: avoid cycle
 
-    payload = fields_ext[:, pair_splat]
+    payload = fields[:, pair_splat]
     g_pad = grad_pad_size(dest_of_exp.shape[0], nty * ntx, config.chunk)
     _, fwd_chk_call, _ = _build_kernels(
         nty, ntx, payload.shape[1], g_pad, config, interpret
@@ -770,15 +770,18 @@ def _csp_bwd(nty, ntx, config, interpret, res, g):
         tile_base, tile_phi, tile_span, used, grad_base, row_offset,
         payload, out, g, tchk,
     )
-    # gradient space → expansion order; dropped pairs (dest == g_pad) fill 0.
-    d_exp = jnp.take(d_grad_space, dest_of_exp, axis=1, mode="fill", fill_value=0.0)
+    # gradient space → expansion order.  Dropped pairs carry ~j (negative):
+    # decode to a spread in-range dummy query (duplicate-query hotspots
+    # serialize TPU gathers) and mask the gathered garbage to exact zeros
+    # (``where`` keeps any NaN in unwritten tail columns out of the sum).
+    keep = dest_of_exp >= 0
+    q = jnp.where(keep, dest_of_exp, ~dest_of_exp)
+    d_exp = jnp.where(keep[None, :], d_grad_space[:, q], 0.0)
     d_fields = segsum_by_splat(d_exp, exp_offsets, exp_counts, interpret)
-    # zero the metadata rows (row 15 carries the segsum's cid reduction) and
-    # re-append the sentinel column to match the (16, N+1) primal shape.
+    # zero the metadata rows (row 15 carries the segsum's cid reduction).
     d_fields = d_fields * _diff_row_mask()
-    d_fields_ext = jnp.pad(d_fields, ((0, 0), (0, 1)))
     return (
-        d_fields_ext,
+        d_fields,
         _int0(pair_splat),
         _int0(tile_base),
         _int0(tile_phi),

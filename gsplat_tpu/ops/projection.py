@@ -252,21 +252,35 @@ def project_splats(
     bx_ = v2x * inv_l2
     by_ = v2y * inv_l2
     if tight_footprint:
+        # A pixel survives the hard fragment discard only if
+        # α = exp(−(qx²+qy²))·op ≥ ALPHA_CUTOFF  AND  |qx|,|qy| ≤ QUAD_EXTENT
+        # (``GSplatShaderSource.h:309`` + quad extent ``:185-187``), i.e. the
+        # live region in quad space is square(QUAD_EXTENT) ∩ disc(ρ) with
+        # ρ = √ln(op/cutoff).  Screen-space AABB of the square is the L1
+        # combination of the quad axes; of the disc, the L2 combination —
+        # tighter by up to √2 per axis for diagonal splats.  min() of the two
+        # bounds the intersection, so the bbox never clips a live pixel: the
+        # image stays bit-identical while pairs drop sharply (low-opacity
+        # splats shrink via ρ, anisotropic ones via L2).  stop_gradient: the
+        # footprint is binning-only (zero cotangent), and √x at x=0 would
+        # otherwise inject inf·0 = NaN.
         opac = splats.opacity.astype(jnp.float32)
-        # stop_gradient: the footprint is a binning-only quantity (zero
-        # cotangent), and √x at x=0 would otherwise inject inf·0 = NaN.
-        extent = jax.lax.stop_gradient(
-            jnp.minimum(
-                QUAD_EXTENT,
-                jnp.sqrt(
-                    jnp.maximum(jnp.log(jnp.maximum(opac, 1e-20) / ALPHA_CUTOFF), 0.0)
-                ),
+        rho = jax.lax.stop_gradient(
+            jnp.sqrt(
+                jnp.maximum(jnp.log(jnp.maximum(opac, 1e-20) / ALPHA_CUTOFF), 0.0)
             )
         )
+        half_x = jnp.minimum(
+            QUAD_EXTENT * (jnp.abs(v1x) + jnp.abs(v2x)),
+            rho * jnp.sqrt(v1x * v1x + v2x * v2x),
+        )
+        half_y = jnp.minimum(
+            QUAD_EXTENT * (jnp.abs(v1y) + jnp.abs(v2y)),
+            rho * jnp.sqrt(v1y * v1y + v2y * v2y),
+        )
     else:
-        extent = QUAD_EXTENT
-    half_x = extent * (jnp.abs(v1x) + jnp.abs(v2x))
-    half_y = extent * (jnp.abs(v1y) + jnp.abs(v2y))
+        half_x = QUAD_EXTENT * (jnp.abs(v1x) + jnp.abs(v2x))
+        half_y = QUAD_EXTENT * (jnp.abs(v1y) + jnp.abs(v2y))
 
     # --- depth key + SH color (GSplatShaderSource.h:244-275) ---
     cam_pos = camera.position

@@ -116,11 +116,8 @@ def _render_strip(
     )
     nty, ntx = tile_grid(width, strip_h, config.tile_h, config.tile_w)
     if backend == "pallas":
-        fields = jnp.concatenate(
-            [p.fields, jnp.zeros((p.fields.shape[0], 1), jnp.float32)], axis=1
-        )
         packed = composite_splats_pallas(
-            fields,
+            p.fields,
             binned.pair_splat,
             binned.tile_base,
             binned.tile_phi,

@@ -59,11 +59,8 @@ def render_pallas(
     # the binning does no pair re-layout) + compositing kernel, one custom
     # VJP whose backward reads the kernel's gradient address space and
     # segment-reduces per splat (~10× faster than XLA's scatter-add).
-    fields = jnp.concatenate(
-        [p.fields, jnp.zeros((p.fields.shape[0], 1), jnp.float32)], axis=1
-    )
     packed = composite_splats_pallas(
-        fields,
+        p.fields,
         binned.pair_splat,
         binned.tile_base,
         binned.tile_phi,

@@ -26,10 +26,15 @@ class RenderConfig:
     tile_h: int = 32
     tile_w: int = 32
 
-    # Per-splat cap on tiles covered when building (tile, splat) pairs; splats
-    # covering more tiles than fit the pair budget are truncated (analogue of
-    # the reference's 2^23 global budget cull, src/GSplatRenderer.C:366-376).
-    pairs_per_splat: float = 4.0
+    # Average (tile, splat) pairs budgeted per splat: the static pair-array
+    # size is pairs_per_splat·N, and every binning/gather/sort pass scales
+    # with it.  Overflow drops the *farthest* splats' pairs with a reported
+    # count (analogue of the reference's 2^23 global budget cull,
+    # src/GSplatRenderer.C:366-376).  3.0 leaves >30% headroom over a
+    # full-frame 1080p scene under the opacity-aware tight footprint
+    # (measured ~2.3 pairs/splat); raise it for scenes of huge splats or for
+    # soft_cutoff rendering (untight footprints).
+    pairs_per_splat: float = 3.0
 
     # Per-tile cap on composited splats (front-to-back; overflow beyond the
     # cap drops the *farthest* splats, which the early-stop would likely have

@@ -48,7 +48,7 @@ def timeit(name, fn, *args, iters=5):
     return r
 
 
-proj = jax.jit(lambda s: sort_by_depth(sanitize_projected(project_splats(s, cam, cfg.sh_order))))(splats)
+proj = jax.jit(lambda s: sort_by_depth(sanitize_projected(project_splats(s, cam, cfg.sh_order, tight_footprint=True))))(splats)
 nty, ntx = tile_grid(W, H, cfg.tile_h, cfg.tile_w)
 num_tiles = nty * ntx
 n = proj.count

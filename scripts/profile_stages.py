@@ -49,7 +49,7 @@ def timeit(name, fn, *args, iters=5):
     return f(*args)
 
 
-proj = timeit("project", lambda s: project_splats(s, cam, cfg.sh_order), splats)
+proj = timeit("project", lambda s: project_splats(s, cam, cfg.sh_order, tight_footprint=True), splats)
 san = timeit("sanitize+sort", lambda p: sort_by_depth(sanitize_projected(p)), proj)
 binned = timeit(
     "bin", lambda p: bin_splats(p, W, H, cfg, with_tiles=False), san
@@ -57,8 +57,7 @@ binned = timeit(
 
 
 def gather(p, b):
-    fields = jnp.concatenate([p.fields, jnp.zeros((16, 1), jnp.float32)], axis=1)
-    return fields[:, b.pair_splat]
+    return p.fields[:, b.pair_splat]
 
 
 payload = timeit("payload gather", gather, san, binned)
@@ -100,12 +99,10 @@ def csp(f_, b):
 
 
 def csp_bwd(p, b):
-    fields = jnp.concatenate([p.fields, jnp.zeros((16, 1), jnp.float32)], axis=1)
-
     def loss(f_):
         return jnp.sum(csp(f_, b)[..., :3])
 
-    return jax.grad(loss)(fields)
+    return jax.grad(loss)(p.fields)
 
 
 timeit("bin (grad map)", lambda p: bin_splats(p, W, H, cfg, with_tiles=False, with_grad_map=True), san)
