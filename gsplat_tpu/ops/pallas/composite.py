@@ -53,11 +53,13 @@ from .segsum import segsum_by_splat
 TILE = 32          # logical pixel tile is TILE×TILE
 PACK_SUB = 8       # sublanes
 PACK_LANES = 128   # lanes; TILE*TILE == PACK_SUB*PACK_LANES
-C_PAD = 16         # payload rows in HBM: compositing reads rows 0..9 (center,
-                   # quad basis, rgb, opacity); rows 10..15 ride along because
-                   # XLA/Mosaic tile the sublane dim to 8 — a 10-row array is
-                   # physically 16 rows and un-sliceable for DMA anyway
-C_USED = 10        # differentiable payload rows (gradients exist for 0..9)
+C_PAD = 16         # payload rows in HBM/SMEM: Mosaic requires DMA slices
+                   # 8-aligned on the sublane dim, so the kernels see 16 rows
+                   # (10 real + 6 zero).  The XLA-side gathers are the
+                   # expensive part (the gather unit is element-sequential:
+                   # cost = rows × queries), so they run on 10-row views and
+                   # the zero rows are appended by a cheap fused pad.
+C_USED = 10        # payload rows the kernels read / gradients exist for
 N_SUMS = 10        # per-splat gradient reductions batched through gmat
 UNROLL = 4         # forward compositing loop unroll (must divide chunk)
 
@@ -682,22 +684,15 @@ def _int0(x):
     return np.zeros(x.shape, jax.dtypes.float0)
 
 
-_ROW_MASK = None
-
-
-def _diff_row_mask():
-    """(16, 1) mask selecting the differentiable payload rows 0..9."""
-    global _ROW_MASK
-    if _ROW_MASK is None:
-        m = np.zeros((C_PAD, 1), np.float32)
-        m[:C_USED] = 1.0
-        _ROW_MASK = m
-    return _ROW_MASK
+def _pad_rows(x):
+    """(C_USED, P) → (C_PAD, P): append the zero rows the kernel DMAs expect
+    (8-aligned sublane slices).  Bandwidth-bound, fuses with the gather."""
+    return jnp.pad(x, ((0, C_PAD - C_USED), (0, 0)))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
 def composite_splats_pallas(
-    fields: jnp.ndarray,        # (16, N) f32 — projected field matrix
+    fields: jnp.ndarray,        # (10, N) f32 — payload rows of the field matrix
     pair_splat: jnp.ndarray,    # (P_pad,) int32 — tile-sorted pair → splat
     tile_base: jnp.ndarray,     # (T,) int32
     tile_phi: jnp.ndarray,      # (T,) int32
@@ -724,7 +719,7 @@ def composite_splats_pallas(
     When not differentiated, XLA dead-code-eliminates the gradient-map
     arguments (and their binning cost) automatically.
     """
-    payload = fields[:, pair_splat]
+    payload = _pad_rows(fields[:, pair_splat])
     fwd_call, _, _ = _build_kernels(
         nty, ntx, payload.shape[1], 0, config, interpret
     )
@@ -738,7 +733,7 @@ def _csp_fwd(
 ):
     from ..binning import grad_pad_size  # local import: avoid cycle
 
-    payload = fields[:, pair_splat]
+    payload = _pad_rows(fields[:, pair_splat])
     g_pad = grad_pad_size(dest_of_exp.shape[0], nty * ntx, config.chunk)
     _, fwd_chk_call, _ = _build_kernels(
         nty, ntx, payload.shape[1], g_pad, config, interpret
@@ -776,10 +771,9 @@ def _csp_bwd(nty, ntx, config, interpret, res, g):
     # (``where`` keeps any NaN in unwritten tail columns out of the sum).
     keep = dest_of_exp >= 0
     q = jnp.where(keep, dest_of_exp, ~dest_of_exp)
-    d_exp = jnp.where(keep[None, :], d_grad_space[:, q], 0.0)
-    d_fields = segsum_by_splat(d_exp, exp_offsets, exp_counts, interpret)
-    # zero the metadata rows (row 15 carries the segsum's cid reduction).
-    d_fields = d_fields * _diff_row_mask()
+    d_exp = jnp.where(keep[None, :], d_grad_space[:C_USED][:, q], 0.0)
+    # segsum returns (16, N); rows ≥ C_USED carry the cid reduction / zeros.
+    d_fields = segsum_by_splat(d_exp, exp_offsets, exp_counts, interpret)[:C_USED]
     return (
         d_fields,
         _int0(pair_splat),

@@ -36,10 +36,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-C_SS = 16    # kernel payload rows: gradients (0..9) + cid carrier (row 15).
-             # XLA/Mosaic tile the sublane dim to 8, so 16 rows DMA as
-             # cheaply as 10 would — and gathers are per-query-bound anyway.
-ROW_CID = 15  # payload row carrying the per-pair compact splat id (f32)
+C_SS = 16    # kernel payload rows: gradients (0..9) + cid carrier (row 10) +
+             # zero fill (Mosaic DMA slices must be 8-aligned on sublanes).
+ROW_CID = 10  # payload row carrying the per-pair compact splat id (f32)
 BLK = 128    # compact splats per grid program
 CHK = 256    # pairs per DMA chunk
 
@@ -119,7 +118,7 @@ def _build_segsum(nblocks: int, p_q: int, interpret: bool):
 
 
 def segsum_by_splat(
-    d_exp: jnp.ndarray,      # (C_SS, budget) f32 — pair grads, expansion order
+    d_exp: jnp.ndarray,      # (10, budget) f32 — pair grads, expansion order
     exp_offsets: jnp.ndarray,  # (N,) int32 — splat s's pairs at [off, off+cnt)
     exp_counts: jnp.ndarray,   # (N,) int32
     interpret: bool = False,
@@ -153,15 +152,22 @@ def segsum_by_splat(
     ].set(exp_offsets, mode="drop")
     bstart = coff[::BLK]  # (nblocks+1,)
 
-    # Stash the cid in row 15 (exact in f32: cid < 2^24; row 15 is a zeroed
-    # metadata row) and pad the pair axis to the DMA chunk size (padding cid
-    # −1 never matches any block).
+    # Append the cid as an extra payload row (exact in f32: cid < 2^24) and
+    # pad the pair axis to the DMA chunk size (padding cid −1 never matches
+    # any block).
     p_q = -(-budget // CHK) * CHK
     cid_f = cid_pair.astype(jnp.float32)
     if p_q != budget:
         d_exp = jnp.pad(d_exp, ((0, 0), (0, p_q - budget)))
         cid_f = jnp.pad(cid_f, (0, p_q - budget), constant_values=-1.0)
-    d_exp = d_exp.at[ROW_CID, :].set(cid_f)
+    d_exp = jnp.concatenate(
+        [
+            d_exp,
+            cid_f[None, :],
+            jnp.zeros((C_SS - ROW_CID - 1, p_q), jnp.float32),
+        ],
+        axis=0,
+    )
 
     call = _build_segsum(nblocks, p_q, interpret)
     d_comp = call(bstart, d_exp)  # (C_SS, nblocks*BLK)

@@ -117,7 +117,7 @@ def _render_strip(
     nty, ntx = tile_grid(width, strip_h, config.tile_h, config.tile_w)
     if backend == "pallas":
         packed = composite_splats_pallas(
-            p.fields,
+            p.fields[:10],
             binned.pair_splat,
             binned.tile_base,
             binned.tile_phi,

@@ -55,12 +55,12 @@ def render_pallas(
     )
     nty, ntx = tile_grid(camera.width, camera.height, config.tile_h, config.tile_w)
 
-    # Fused rasterization tail: payload gather (16-row, tile-sorted order —
+    # Fused rasterization tail: payload gather (10-row, tile-sorted order —
     # the binning does no pair re-layout) + compositing kernel, one custom
     # VJP whose backward reads the kernel's gradient address space and
     # segment-reduces per splat (~10× faster than XLA's scatter-add).
     packed = composite_splats_pallas(
-        p.fields,
+        p.fields[:10],
         binned.pair_splat,
         binned.tile_base,
         binned.tile_phi,

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 
 import gsplat_tpu as gt
 from gsplat_tpu.ops.binning import bin_splats, grad_pad_size, tile_grid
-from gsplat_tpu.ops.pallas.composite import _build_kernels
+from gsplat_tpu.ops.pallas.composite import _build_kernels, _pad_rows
 from gsplat_tpu.ops.pallas.segsum import segsum_by_splat
 from gsplat_tpu.ops.projection import project_splats
 from gsplat_tpu.ops.rasterize_ref import sanitize_projected
@@ -23,7 +23,7 @@ W, H = 1920, 1080
 key = jax.random.PRNGKey(0)
 splats = gt.random_splats(key, N, extent=1.2, scale_range=(0.002, 0.01), sh_scale=0.1)
 cam = gt.make_camera(eye=[0.0, 0.4, 3.0], target=[0, 0, 0], width=W, height=H)
-cfg = gt.RenderConfig()
+cfg = gt.RenderConfig(transmittance_eps=float(__import__("os").environ.get("TEPS", "1e-4")))
 
 
 def probe(r):
@@ -54,8 +54,8 @@ binned = jax.jit(
     lambda p: bin_splats(p, W, H, cfg, with_tiles=False, with_grad_map=True)
 )(proj)
 
-fields = proj.fields
-payload = jax.jit(lambda f, ps: f[:, ps])(fields, binned.pair_splat)
+fields = proj.fields[:10]
+payload = jax.jit(lambda f, ps: _pad_rows(f[:, ps]))(fields, binned.pair_splat)
 p_pad = payload.shape[1]
 budget = binned.dest_of_exp.shape[0]
 g_pad = grad_pad_size(budget, nty * ntx, cfg.chunk)
@@ -63,7 +63,7 @@ row_off = jnp.zeros((1,), jnp.int32)
 
 fwd_call, fwd_chk_call, bwd_call = _build_kernels(nty, ntx, p_pad, g_pad, cfg, False)
 
-timeit("payload gather (16-row)", lambda f, ps: f[:, ps], fields, binned.pair_splat)
+timeit("payload gather (10-row+pad)", lambda f, ps: _pad_rows(f[:, ps]), fields, binned.pair_splat)
 timeit(
     "fwd kernel (no checkpoints)",
     lambda pay: fwd_call(binned.tile_base, binned.tile_phi, binned.tile_span, row_off, pay)[0],
@@ -88,7 +88,7 @@ d_grad = timeit(
 def _exp_gather(dg):
     keep = binned.dest_of_exp >= 0
     q = jnp.where(keep, binned.dest_of_exp, ~binned.dest_of_exp)
-    return jnp.where(keep[None, :], dg[:, q], 0.0)
+    return jnp.where(keep[None, :], dg[:10][:, q], 0.0)
 
 
 d_exp = timeit("d_exp gather (grad space -> exp)", _exp_gather, d_grad)

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 import gsplat_tpu as gt
 from gsplat_tpu.ops.binning import bin_splats, tile_grid
-from gsplat_tpu.ops.pallas.composite import composite_pairs_pallas, unpack_image
+from gsplat_tpu.ops.pallas.composite import _pad_rows, composite_pairs_pallas, unpack_image
 from gsplat_tpu.ops.projection import ProjectedSplats, project_splats
 from gsplat_tpu.ops.rasterize_ref import sanitize_projected
 from gsplat_tpu.ops.rasterize_tiles import sort_by_depth
@@ -57,7 +57,7 @@ binned = timeit(
 
 
 def gather(p, b):
-    return p.fields[:, b.pair_splat]
+    return _pad_rows(p.fields[:10][:, b.pair_splat])
 
 
 payload = timeit("payload gather", gather, san, binned)
@@ -102,7 +102,7 @@ def csp_bwd(p, b):
     def loss(f_):
         return jnp.sum(csp(f_, b)[..., :3])
 
-    return jax.grad(loss)(p.fields)
+    return jax.grad(loss)(p.fields[:10])
 
 
 timeit("bin (grad map)", lambda p: bin_splats(p, W, H, cfg, with_tiles=False, with_grad_map=True), san)
