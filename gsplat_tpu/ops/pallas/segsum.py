@@ -123,8 +123,7 @@ def segsum_by_splat(
     exp_counts: jnp.ndarray,   # (N,) int32
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Sum pair-gradient columns per splat.  Returns (C_SS, N) f32 (row 15
-    carries a meaningless cid reduction — callers use rows 0..9)."""
+    """Sum pair-gradient columns per splat.  Returns (10, N) f32."""
     n = exp_offsets.shape[0]
     budget = d_exp.shape[1]
     total = jnp.minimum(
@@ -172,5 +171,7 @@ def segsum_by_splat(
     call = _build_segsum(nblocks, p_q, interpret)
     d_comp = call(bstart, d_exp)  # (C_SS, nblocks*BLK)
 
-    d = jnp.take(d_comp, jnp.maximum(cid_splat, 0), axis=1)
+    # Gather only the 10 gradient rows (element-sequential gather unit);
+    # rows ≥ 10 of the kernel output carry the cid reduction / zero fill.
+    d = jnp.take(d_comp[:10], jnp.maximum(cid_splat, 0), axis=1)
     return jnp.where(nonzero[None, :], d, 0.0)
