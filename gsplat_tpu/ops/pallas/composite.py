@@ -99,9 +99,10 @@ def _splat_alpha(buf, slot, i, px, py, max_alpha, soft_cutoff, valid):
     power = qx2 + qy2
     alpha = jnp.minimum(jnp.exp(-power) * op, max_alpha)
     if not soft_cutoff:
-        # |q| ≤ 2 ⟺ q² ≤ 4 (exact in f32; reuses the power operands)
+        # |q| ≤ 2 ⟺ max(qx², qy²) ≤ 4 (exact in f32; reuses the power
+        # operands; max-combine saves a compare per pair)
         ext2 = QUAD_EXTENT * QUAD_EXTENT
-        inside = (qx2 <= ext2) & (qy2 <= ext2)
+        inside = jnp.maximum(qx2, qy2) <= ext2
         alpha = jnp.where(inside & (alpha >= ALPHA_CUTOFF), alpha, 0.0)
     return alpha, qx, qy, dx, dy, op
 
@@ -426,13 +427,14 @@ def _bwd_kernel(
             if not soft_cutoff:
                 active = active & (alpha > 0.0)
             ga = jnp.where(active, d_alpha, 0.0)
-            d_power = -ga * alpha
+            gaa = ga * alpha
+            dp2 = -2.0 * gaa  # 2·d_power, folded once instead of per axis
             dx = px - cx
             dy = py - cy
             qx = dx * ax + dy * ay
             qy = dx * bx + dy * by
-            d_qx = 2.0 * qx * d_power
-            d_qy = 2.0 * qy * d_power
+            d_qx = qx * dp2
+            d_qy = qy * dp2
 
             # 10 sublane-reduced lane-rows; the lane reduction happens for
             # the whole chunk at once in the chunk-end mat-vec.
@@ -450,7 +452,7 @@ def _bwd_kernel(
             put(6, dc_r * w_i)
             put(7, dc_g * w_i)
             put(8, dc_b * w_i)
-            put(9, ga * alpha)
+            put(9, gaa)
             om = 1.0 - alpha
             return (
                 r * alpha + om * sr,

@@ -33,7 +33,7 @@ def sort_by_depth(p: ProjectedSplats) -> ProjectedSplats:
     applied via :func:`permute_cols` so the backward pass is an
     inverse-permutation gather, not a scatter-add."""
     order = jnp.argsort(p.fields[ROW_DEPTH])
-    return ProjectedSplats(fields=permute_cols(p.fields, order))
+    return ProjectedSplats(fields=permute_cols(p.fields, order, 10))
 
 
 def depth_order(splats: GaussianSplats, camera: Camera) -> jnp.ndarray:
@@ -165,7 +165,7 @@ def render_tiles(
     if order is None:
         p = sort_by_depth(p)
     else:
-        p = ProjectedSplats(fields=permute_cols(p.fields, order))
+        p = ProjectedSplats(fields=permute_cols(p.fields, order, 10))
     binned = bin_splats(p, camera.width, camera.height, config)
     nty, ntx = tile_grid(camera.width, camera.height, config.tile_h, config.tile_w)
     lists = build_tile_lists(binned, nty * ntx, config.tile_capacity, p.count)

@@ -49,7 +49,7 @@ def render_pallas(
     if order is None:
         p = sort_by_depth(p)
     else:
-        p = ProjectedSplats(fields=permute_cols(p.fields, order))
+        p = ProjectedSplats(fields=permute_cols(p.fields, order, 10))
     binned = bin_splats(
         p, camera.width, camera.height, config, with_tiles=False, with_grad_map=True
     )
