@@ -10,8 +10,12 @@ Usage:
 """
 
 import argparse
+import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -22,9 +26,13 @@ def main():
     ap.add_argument("--views", type=int, default=6)
     ap.add_argument("--ckpt", default=None, help="checkpoint dir (optional)")
     ap.add_argument("--out", default=None, help="save fitted scene to PLY")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import optax
 

@@ -7,8 +7,12 @@ Usage:
 """
 
 import argparse
+import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -24,7 +28,12 @@ def main():
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--wire", action="store_true", help="wireframe debug view")
     ap.add_argument("--background", nargs=3, type=float, default=[1.0, 1.0, 1.0])
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     import gsplat_tpu as gt
 

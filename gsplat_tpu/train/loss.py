@@ -11,6 +11,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
@@ -19,9 +20,12 @@ def l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=4)
 def _gaussian_window(size: int, sigma: float):
-    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
-    g = jnp.exp(-(x**2) / (2.0 * sigma**2))
-    return g / jnp.sum(g)
+    # numpy on purpose: an lru_cache of jnp values built inside a jit trace
+    # would cache a tracer and poison every later trace (UnexpectedTracerError
+    # on the second jit that calls ssim).  A host constant embeds cleanly.
+    x = np.arange(size, dtype=np.float32) - (size - 1) / 2.0
+    g = np.exp(-(x**2) / (2.0 * sigma**2))
+    return g / np.sum(g)
 
 
 def _filter2d_separable(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
