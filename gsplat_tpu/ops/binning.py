@@ -45,6 +45,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.config import RenderConfig
+from ..utils.logging import format_count, get_logger
 from .covariance import ALPHA_CUTOFF
 from .projection import (
     ROW_CX,
@@ -104,6 +105,45 @@ class BinnedPairs:
     @property
     def pair_budget(self) -> int:
         return self.pair_splat.shape[0]
+
+
+_log = get_logger("binning")
+
+
+def _warn_dropped_cb(dropped) -> None:
+    d = int(dropped)
+    if d > 0:
+        _log.warning_once(
+            f"pair budget/tile capacity exceeded — dropped {format_count(d)} "
+            "farthest (tile, splat) pairs; raise RenderConfig.pairs_per_splat "
+            "or tile_capacity",
+            key="dropped_pairs",
+        )
+    else:
+        _log.reset_once("dropped_pairs")
+
+
+def _backend_supports_callbacks() -> bool:
+    # The axon-tunneled PJRT backend rejects host send/recv callbacks
+    # ("axon_pjrt does not support host send/recv callbacks") — emitting one
+    # would abort the render at runtime.  It identifies itself only in the
+    # client's platform_version string (platform/backend both say "tpu").
+    try:
+        version = jax.devices()[0].client.platform_version
+    except Exception:
+        return True
+    return "axon" not in version
+
+
+def warn_if_dropped(binned: "BinnedPairs", config: RenderConfig) -> None:
+    """Surface ``dropped_pairs`` from inside a jitted render via an async
+    host callback — the analogue of the reference's budget-cull warning
+    (``src/GSplatRenderer.C:366-376``), once-per-condition with re-arm when
+    the overflow clears.  No-op when ``config.warn_on_drop`` is False or the
+    backend cannot host callbacks."""
+    if not config.warn_on_drop or not _backend_supports_callbacks():
+        return
+    jax.debug.callback(_warn_dropped_cb, binned.dropped_pairs)
 
 
 def tile_grid(width: int, height: int, tile_h: int, tile_w: int) -> Tuple[int, int]:

@@ -139,8 +139,13 @@ def project_splats(
     camera: Camera,
     sh_order: int = 3,
     tight_footprint: bool = False,
+    only_sh: bool = False,
 ) -> ProjectedSplats:
     """Project all splats for one camera.  ``sh_order`` must be static.
+
+    ``only_sh``: the reference shader's ``onlySH`` debug flag
+    (``GSplatShaderCoreLib.h:117-179``) — the DC base color is replaced with
+    0.5 grey so only the directional SH bands show.
 
     ``tight_footprint``: shrink the binning bbox (rows 12-13) to the
     opacity-dependent discard radius ``√ln(opacity/ALPHA_CUTOFF)`` instead of
@@ -289,7 +294,12 @@ def project_splats(
     tz = pz_ - cam_pos[2]
     depth_sq = tx * tx + ty * ty + tz * tz
     color = splats.color.astype(jnp.float32)
-    r_, g_, b_ = color[0], color[1], color[2]
+    if only_sh:
+        # onlySH debug: base = 0.5 grey (GSplatShaderCoreLib.h:122-127).
+        grey = jnp.full_like(color[0], 0.5)
+        r_, g_, b_ = grey, grey, grey
+    else:
+        r_, g_, b_ = color[0], color[1], color[2]
     if sh_order > 0:
         inv_n = jax.lax.rsqrt(jnp.maximum(depth_sq, 1e-24))
         dxn, dyn, dzn = tx * inv_n, ty * inv_n, tz * inv_n

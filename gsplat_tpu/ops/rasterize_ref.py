@@ -120,5 +120,5 @@ def render_reference(
     config: RenderConfig = RenderConfig(),
 ) -> jnp.ndarray:
     """End-to-end oracle render: project → sort → composite.  (H, W, 4)."""
-    projected = project_splats(splats, camera, config.sh_order)
+    projected = project_splats(splats, camera, config.sh_order, only_sh=config.only_sh)
     return composite_reference(projected, camera.width, camera.height, config)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ..models.camera import Camera
 from ..models.splats import GaussianSplats
 from ..utils.config import RenderConfig
-from .binning import BinnedPairs, bin_splats, tile_grid
+from .binning import BinnedPairs, bin_splats, tile_grid, warn_if_dropped
 from .covariance import ALPHA_CUTOFF, QUAD_EXTENT
 from .permute import permute_cols
 from .projection import N_FIELDS, ROW_DEPTH, ProjectedSplats, project_splats
@@ -159,7 +159,8 @@ def render_tiles(
     :func:`depth_order`) — the amortized-sort path; recomputed when None.
     """
     projected = project_splats(
-        splats, camera, config.sh_order, tight_footprint=not config.soft_cutoff
+        splats, camera, config.sh_order,
+        tight_footprint=not config.soft_cutoff, only_sh=config.only_sh,
     )
     p = sanitize_projected(projected)
     if order is None:
@@ -167,6 +168,7 @@ def render_tiles(
     else:
         p = ProjectedSplats(fields=permute_cols(p.fields, order, 10))
     binned = bin_splats(p, camera.width, camera.height, config)
+    warn_if_dropped(binned, config)
     nty, ntx = tile_grid(camera.width, camera.height, config.tile_h, config.tile_w)
     lists = build_tile_lists(binned, nty * ntx, config.tile_capacity, p.count)
     return composite_tile_lists(lists, p.fields, camera.width, camera.height, config)

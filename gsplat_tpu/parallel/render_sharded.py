@@ -34,7 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.camera import Camera
 from ..models.splats import GaussianSplats
-from ..ops.binning import bin_splats, tile_grid
+from ..ops.binning import bin_splats, tile_grid, warn_if_dropped
 from ..ops.pallas.composite import composite_splats_pallas, unpack_image
 from ..ops.projection import ProjectedSplats, project_splats
 from ..ops.rasterize_ref import sanitize_projected
@@ -114,6 +114,7 @@ def _render_strip(
         with_tiles=(backend != "pallas"),
         with_grad_map=(backend == "pallas"),
     )
+    warn_if_dropped(binned, config)
     nty, ntx = tile_grid(width, strip_h, config.tile_h, config.tile_w)
     if backend == "pallas":
         packed = composite_splats_pallas(
@@ -161,7 +162,7 @@ def render_sharded(
     def local_fn(splats_local):
         projected = project_splats(
             splats_local, camera, config.sh_order,
-            tight_footprint=not config.soft_cutoff,
+            tight_footprint=not config.soft_cutoff, only_sh=config.only_sh,
         )
         p = sanitize_projected(projected)
         # Compact payload exchange (one collective): every device needs every

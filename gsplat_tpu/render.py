@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from .models.camera import Camera
 from .models.splats import GaussianSplats
-from .ops.binning import bin_splats, tile_grid
+from .ops.binning import bin_splats, tile_grid, warn_if_dropped
 from .ops.pallas.composite import composite_splats_pallas, unpack_image
 from .ops.permute import permute_cols
 from .ops.projection import ProjectedSplats, project_splats
@@ -43,7 +43,8 @@ def render_pallas(
     if config.tile_h != 32 or config.tile_w != 32:
         raise ValueError("pallas backend requires tile_h == tile_w == 32")
     projected = project_splats(
-        splats, camera, config.sh_order, tight_footprint=not config.soft_cutoff
+        splats, camera, config.sh_order,
+        tight_footprint=not config.soft_cutoff, only_sh=config.only_sh,
     )
     p = sanitize_projected(projected)
     if order is None:
@@ -53,6 +54,7 @@ def render_pallas(
     binned = bin_splats(
         p, camera.width, camera.height, config, with_tiles=False, with_grad_map=True
     )
+    warn_if_dropped(binned, config)
     nty, ntx = tile_grid(camera.width, camera.height, config.tile_h, config.tile_w)
 
     # Fused rasterization tail: payload gather (10-row, tile-sorted order —

@@ -18,6 +18,17 @@ class RenderConfig:
     # clamped with an error in src/GR_GSplat.C:444-457).
     sh_order: int = 3
 
+    # Debug mode matching the reference shader's ``onlySH`` flag
+    # (gsplat_plugin/shaders/GSplatShaderCoreLib.h:117-179): replace the DC
+    # base color with 0.5 grey so only the directional SH bands show.
+    only_sh: bool = False
+
+    # Warn (once, via the scene logger) when the static pair budget or a
+    # tile's capacity truncates pairs — the analogue of the reference's cull
+    # warning (src/GSplatRenderer.C:366-376).  Wired through an async host
+    # callback; set False to keep jitted renders callback-free.
+    warn_on_drop: bool = True
+
     # Tile size for the tiled/Pallas rasterizer.  The Pallas kernel requires
     # 32×32: a 32×32 pixel tile holds exactly one (8, 128) VPU register
     # (4 row-groups of 8 rows × 32 cols packed along lanes), and a square-ish
@@ -44,11 +55,6 @@ class RenderConfig:
     # Pallas compositing chunk: pairs are DMA'd HBM→VMEM in blocks of this
     # many rows, and per-tile segments are padded to this alignment.
     chunk: int = 128
-
-    # Splat sub-block within a chunk: alpha is computed vectorized over this
-    # many splats at once ((SBLK, 8, 128) VPU ops), then composited in a
-    # statically unrolled front-to-back walk.
-    splat_block: int = 8
 
     # Upper clamp on per-fragment alpha.  The reference clamps to 1.0
     # (GSplatShaderSource.h:308); values < 1 keep the backward pass's
@@ -82,5 +88,3 @@ class RenderConfig:
             raise ValueError(f"sh_order must be in [0,3], got {self.sh_order}")
         if self.tile_capacity % self.chunk != 0:
             raise ValueError("tile_capacity must be a multiple of chunk")
-        if self.chunk % self.splat_block != 0:
-            raise ValueError("chunk must be a multiple of splat_block")
