@@ -8,6 +8,7 @@ Usage: python bench.py [--splats N] [--width W] [--height H] [--fwd-only]
 
 import argparse
 import json
+import os
 import statistics
 import sys
 import time
@@ -25,6 +26,8 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--fwd-only", action="store_true")
     ap.add_argument("--backend", default="auto")
+    ap.add_argument("--skip-parity", action="store_true",
+                    help="skip the on-chip pallas-vs-tiles correctness gate")
     args = ap.parse_args()
 
     import gsplat_tpu as gt
@@ -86,15 +89,31 @@ def main():
         }))
         sys.exit(1)
 
+    # On-chip correctness gate: the fps number is only meaningful if the
+    # Mosaic-compiled kernels match the pure-XLA backend ON THIS DEVICE
+    # (interpreter-mode tests can't catch a miscompile).
     kind = "fwd" if args.fwd_only else "fwd+bwd"
-    print(json.dumps({
+    result = {
         "metric": f"{args.splats//1000}k-splat {args.width}x{args.height} {kind} frames/sec/chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": None,
         "backend": backend,
         "median_ms": round(dt * 1000, 2),
-    }))
+    }
+    if backend == "pallas" and not args.skip_parity:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        try:
+            from verify_tpu import verify
+
+            p = verify()
+            result["tpu_parity_ok"] = p["ok"]
+            result["parity_img_maxdiff"] = round(p["img_max_abs_diff"], 9)
+            result["parity_grad_reldiff"] = round(p["grad_max_rel_diff"], 9)
+        except Exception as e:  # surface, don't hide
+            result["tpu_parity_ok"] = False
+            result["parity_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -63,12 +63,14 @@ from .projection import (
 class BinnedPairs:
     """Static-shape binning result (pairs stay in tile-sorted order).
 
-    ``pair_splat[k]``: depth-rank index (into the sorted splat arrays) of the
-    k-th pair; pairs are grouped by tile (ascending tile id) and
-    front-to-back within each tile.  Invalid/padding pairs hold *spread*
-    in-range dummy indices (their payload is never read unmasked; a shared
-    sentinel column would serialize the payload gather — see ``bin_splats``).
-    Use ``pair_tile == num_tiles`` to identify them, not ``pair_splat``.
+    ``pair_splat[k]``: payload-column index of the k-th pair — a *storage*
+    index when ``bin_splats`` was given ``order``, a depth-rank index
+    otherwise (fields pre-sorted); pairs are grouped by tile (ascending tile
+    id) and front-to-back within each tile.  Invalid/padding pairs hold
+    *spread* in-range dummy indices (their payload is never read unmasked; a
+    shared sentinel column would serialize the payload gather — see
+    ``bin_splats``).  Use ``pair_tile == num_tiles`` to identify them, not
+    ``pair_splat``.
 
     Per-tile segment descriptors (all ``(T,) int32``):
       * ``tile_start`` — raw (unaligned) first pair of the tile's segment;
@@ -83,10 +85,11 @@ class BinnedPairs:
 
     With ``with_grad_map=True`` the expansion-order gradient map is also
     produced: ``dest_of_exp[j]`` is the *gradient-space* slot of expansion
-    pair j (``~j``, negative, if dropped — decode with sign + bitwise-not), and
-    ``exp_offsets/exp_counts`` delimit each splat's contiguous pair segment
-    in expansion order — the pieces the segment-reduce VJP needs to turn
-    per-pair gradients into per-splat gradients without a scatter-add.
+    pair j (``~j``, negative, if dropped — decode with sign + bitwise-not),
+    and ``exp_offsets/exp_counts`` (indexed by depth rank) delimit each
+    splat's contiguous pair segment in expansion order — the pieces the
+    segment-reduce VJP needs to turn per-pair gradients into per-splat
+    gradients without a scatter-add.
     """
 
     pair_splat: jax.Array    # (P_pad,) int32 — tile-sorted order
@@ -171,11 +174,21 @@ def bin_splats(
     row_offset=0,
     with_tiles: bool = True,
     with_grad_map: bool = False,
+    order: jax.Array = None,
 ) -> BinnedPairs:
-    """Bin depth-sorted, sanitized projected splats into tiles.
+    """Bin sanitized projected splats into tiles.
 
-    ``sorted_projected`` MUST already be in ascending camera-distance order
-    (the compositing order contract) and sanitized (no NaNs in invalid rows).
+    Depth ordering comes in one of two forms:
+      * ``order=None`` — the splats MUST already be in ascending
+        camera-distance order (the compositing order contract);
+      * ``order`` = the depth permutation (``argsort(fields[ROW_DEPTH])``)
+        — the fields stay in **storage order** and only the small per-splat
+        binning operands are reordered through ``order`` (1-row gathers).
+        This is the production path: it avoids permuting the whole (16, N)
+        field matrix (and un-permuting its cotangent) every frame, and
+        ``pair_splat`` then holds *storage* indices so the payload gather
+        reads the unsorted fields directly.  The pair sequence (and thus
+        every image bit) is identical either way.
 
     ``row_offset`` (int, may be traced): index of the first tile *row* of
     this screen region, in tiles — used by the sharded renderer to bin a
@@ -217,19 +230,28 @@ def bin_splats(
     ny = jnp.where(cull, 0, ty1 - ty0 + 1)
     counts = nx * ny
 
-    # Ragged → static: pair k belongs to the splat whose inclusive-cumsum
-    # first exceeds k.  Splats are depth-sorted, so truncation at the budget
-    # drops only the farthest splats' pairs.
+    # Depth (rank) order: with ``order`` the fields stay in storage order and
+    # only the per-splat expansion operands are reordered through it — 1-row
+    # gathers over N, instead of permuting the whole (16, N) field matrix
+    # (and un-permuting its 10-row cotangent) every frame.
+    if order is not None:
+        counts_d = counts[order]
+    else:
+        counts_d = counts
+
+    # Ragged → static: pair k belongs to the (depth-ranked) splat whose
+    # inclusive-cumsum first exceeds k.  Ranks ascend with distance, so
+    # truncation at the budget drops only the farthest splats' pairs.
     #
-    # Computed via scatter-max of (splat_id+1) at each splat's offset followed
+    # Computed via scatter-max of (rank+1) at each rank's offset followed
     # by a cummax — two linear passes.  (A searchsorted here lowers to ~17
     # binary-search rounds of 800k-wide gathers on TPU — ~100 ms at 100k
-    # splats, 30× the entire rest of the frame.)  Zero-count splats share
-    # their offset with the next non-empty splat, whose larger id wins the
+    # splats, 30× the entire rest of the frame.)  Zero-count ranks share
+    # their offset with the next non-empty rank, whose larger id wins the
     # max, so the mapping lands on the owning splat.
-    cum = jnp.cumsum(counts)
+    cum = jnp.cumsum(counts_d)
     total = jnp.minimum(cum[-1] if n > 0 else jnp.int32(0), budget)
-    offsets = cum - counts
+    offsets = cum - counts_d
     pair_idx = jnp.arange(budget, dtype=jnp.int32)
     splat_ids = jnp.arange(n, dtype=jnp.int32)
     marks = jnp.zeros((budget,), jnp.int32).at[offsets].max(
@@ -246,9 +268,14 @@ def bin_splats(
     bits_nx = ntx.bit_length()
     packed_ok = (num_tiles << bits_nx) < 2**31
     if packed_ok:
-        exp_ops = jnp.stack([offsets, (tile0 << bits_nx) | nx1])
+        tnx = (tile0 << bits_nx) | nx1
+        rows = [offsets, tnx[order] if order is not None else tnx]
     else:  # huge tile grids: fall back to the 3-row gather
-        exp_ops = jnp.stack([offsets, nx1, tile0])
+        if order is not None:
+            rows = [offsets, nx1[order], tile0[order]]
+        else:
+            rows = [offsets, nx1, tile0]
+    exp_ops = jnp.stack(rows)
     g3 = exp_ops[:, s_safe]
     r = pair_idx - g3[0]
     if packed_ok:
@@ -266,9 +293,9 @@ def bin_splats(
     tile = tile0_s + dty * ntx + dtx
     pair_valid = pair_idx < total
     tile = jnp.where(pair_valid, tile, num_tiles)
-    # Invalid pairs point at *spread* real columns instead of one shared
-    # sentinel column: a gather with millions of duplicate queries to a
-    # single column serializes on TPU (~1.7× measured at 4M pairs with 37%
+    # Invalid pairs point at *spread* real ranks instead of one shared
+    # sentinel: a gather with millions of duplicate queries to a single
+    # column serializes on TPU (~1.7× measured at 4M pairs with 37%
     # sentinels).  Safe because an invalid pair's payload is never read
     # unmasked — it sorts past every tile's span (the compositing kernels
     # force its opacity to 0) and ``build_tile_lists`` drops it by its
@@ -276,25 +303,45 @@ def bin_splats(
     # sanitized splat column is.
     spread_mask = (1 << max(int(n).bit_length() - 1, 0)) - 1
     spread = jnp.minimum(pair_idx & spread_mask, n - 1)
-    splat_of_pair = jnp.where(pair_valid, s_safe, spread)
+    rank_of_pair = jnp.where(pair_valid, s_safe, spread)
 
-    # One stable sort by tile groups pairs per tile while preserving the
-    # global front-to-back order within each tile.  The expansion index rides
-    # along (third payload, ~2 ms) only when the gradient map is requested.
-    if with_grad_map:
-        tile_sorted, splat_sorted, eidx_sorted = jax.lax.sort(
-            (tile, splat_of_pair, pair_idx), num_keys=1, is_stable=True
-        )
-    else:
-        tile_sorted, splat_sorted = jax.lax.sort(
-            (tile, splat_of_pair), num_keys=1, is_stable=True
-        )
-
-    # Segment boundaries per tile (in the sorted pair order).  2k queries
-    # into the sorted pair array — cheap (log-rounds of tiny gathers),
-    # unlike per-pair searchsorted.
+    # One sort by tile groups pairs per tile while preserving the global
+    # front-to-back order within each tile.  (tile, rank) is packed into a
+    # single int32 key when the bit budget allows — one sorted array instead
+    # of two, and the tile boundaries come straight from a searchsorted on
+    # the shifted tile ids.  Keys of valid pairs are unique (a splat touches
+    # a tile at most once), so stability is moot; ranks ascend with depth so
+    # ascending key order IS front-to-back within each tile.  The expansion
+    # index rides along only when the gradient map is requested.
     tile_ids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-    starts = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
+    bits_r = max((n - 1).bit_length(), 1)
+    key_ok = ((num_tiles + 1) << bits_r) <= 2**31 - 1
+    if key_ok:
+        key = (tile << bits_r) | rank_of_pair
+        if with_grad_map:
+            key_sorted, eidx_sorted = jax.lax.sort((key, pair_idx), num_keys=1)
+        else:
+            key_sorted = jax.lax.sort(key)
+        tile_sorted = key_sorted >> bits_r
+        rank_sorted = key_sorted & ((1 << bits_r) - 1)
+        starts = jnp.searchsorted(
+            key_sorted, tile_ids << bits_r, side="left"
+        ).astype(jnp.int32)
+    else:  # 2^23-scale scenes on huge tile grids: two(/three)-array sort
+        if with_grad_map:
+            tile_sorted, rank_sorted, eidx_sorted = jax.lax.sort(
+                (tile, rank_of_pair, pair_idx), num_keys=1, is_stable=True
+            )
+        else:
+            tile_sorted, rank_sorted = jax.lax.sort(
+                (tile, rank_of_pair), num_keys=1, is_stable=True
+            )
+        starts = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(
+            jnp.int32
+        )
+    # pair → payload column: storage index (through ``order``) so the
+    # payload gather reads the unsorted field matrix directly.
+    splat_sorted = order[rank_sorted] if order is not None else rank_sorted
     sb = starts[:-1]
     raw_count = starts[1:] - sb
     tile_count = jnp.minimum(raw_count, config.tile_capacity)
@@ -377,5 +424,5 @@ def bin_splats(
         dropped_pairs=dropped.astype(jnp.int32),
         dest_of_exp=dest_of_exp,
         exp_offsets=offsets if with_grad_map else None,
-        exp_counts=counts if with_grad_map else None,
+        exp_counts=counts_d if with_grad_map else None,
     )

@@ -343,12 +343,6 @@ def _bwd_kernel(
 
     ones = jnp.ones((PACK_SUB, PACK_LANES), jnp.float32)
     zeros = jnp.zeros((PACK_SUB, PACK_LANES), jnp.float32)
-    ones_col = jnp.ones((PACK_LANES, 1), jnp.float32)
-    # 128×128 identity for MXU transposes (iota trick: no constant buffer).
-    eye = (
-        jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-    ).astype(jnp.float32)
 
     # ---- reverse chunk walk: exact within-chunk T/α replay; gradients ----
     @pl.when(nused > 0)
@@ -465,8 +459,12 @@ def _bwd_kernel(
             0, chunk // UNROLL, splat_body, (sr, sg, sb, rr)
         )
 
-        # ---- chunk-end: lane-reduce all rows on the MXU, then combine ----
-        sums = jax.lax.dot(gmat[...], ones_col, preferred_element_type=jnp.float32)
+        # ---- chunk-end: lane-reduce all rows, then combine ----
+        # VPU tree-sum, NOT an MXU ones-matvec: the MXU truncates f32
+        # operands to bf16 at DEFAULT precision, corrupting the gradient
+        # sums on real silicon (caught on-chip by scripts/verify_tpu.py —
+        # interpreter-mode tests compute exact f32 and can't see it).
+        sums = jnp.sum(gmat[...], axis=1, keepdims=True)
 
         def seg(kk):  # (chunk, 1) raw sum per splat
             return sums[kk * chunk : (kk + 1) * chunk]
@@ -476,12 +474,10 @@ def _bwd_kernel(
         s_dqy_dx, s_dqy_dy = seg(4), seg(5)
 
         # payload block transposed to (chunk, C_PAD): splats on sublanes.
+        # Native Mosaic transpose — bit-exact (an MXU eye-matmul at DEFAULT
+        # precision truncates the payload values to bf16 on silicon).
         dma_vin(slot, ci).wait()
-        buf_t = jax.lax.dot_general(
-            eye, vbuf[slot],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (chunk, C_PAD)
+        buf_t = jnp.transpose(vbuf[slot])  # (chunk, C_PAD)
         axv = buf_t[:, 2:3]
         ayv = buf_t[:, 3:4]
         bxv = buf_t[:, 4:5]
@@ -503,12 +499,8 @@ def _bwd_kernel(
         dtt[:, 9:10] = seg(9) * (1.0 / jnp.maximum(opv, 1e-20))
         dtt[:, C_USED:C_PAD] = jnp.zeros((chunk, C_PAD - C_USED), jnp.float32)
 
-        # transpose back to payload layout (C_PAD, chunk) on the MXU.
-        dbuf[oslot] = jax.lax.dot_general(
-            dtt[...], eye,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        # transpose back to payload layout (C_PAD, chunk) — native, exact.
+        dbuf[oslot] = jnp.transpose(dtt[...])
         dma_out(oslot, ci).start()
         return k + 1, sr, sg, sb, rr
 
@@ -692,21 +684,23 @@ def _pad_rows(x):
     return jnp.pad(x, ((0, C_PAD - C_USED), (0, 0)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
 def composite_splats_pallas(
     fields: jnp.ndarray,        # (10, N) f32 — payload rows of the field matrix
-    pair_splat: jnp.ndarray,    # (P_pad,) int32 — tile-sorted pair → splat
+    pair_splat: jnp.ndarray,    # (P_pad,) int32 — tile-sorted pair → column
     tile_base: jnp.ndarray,     # (T,) int32
     tile_phi: jnp.ndarray,      # (T,) int32
     tile_span: jnp.ndarray,     # (T,) int32
     grad_base: jnp.ndarray,     # (T,) int32
     dest_of_exp: jnp.ndarray,   # (budget,) int32 — exp pair → gradient slot
-    exp_offsets: jnp.ndarray,   # (N,) int32
-    exp_counts: jnp.ndarray,    # (N,) int32
+    exp_offsets: jnp.ndarray,   # (N,) int32 — indexed by depth rank
+    exp_counts: jnp.ndarray,    # (N,) int32 — indexed by depth rank
     row_offset: jnp.ndarray,    # (1,) int32
-    nty: int,
-    ntx: int,
-    config: RenderConfig,
+    order: jnp.ndarray = None,  # (N,) int32 depth permutation, or None if
+                                # ``fields`` is already depth-sorted
+    nty: int = 0,
+    ntx: int = 0,
+    config: RenderConfig = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Differentiable fused rasterization tail: payload gather + compositing.
@@ -717,6 +711,10 @@ def composite_splats_pallas(
     ``dest_of_exp`` and segment-reduces per-splat with the MXU one-hot
     kernel (``ops/pallas/segsum.py``) — ~10× faster than XLA's scatter-add
     transpose.  Gradients flow to ``fields`` only.
+
+    ``order``: when given, ``fields`` is in storage order, ``pair_splat``
+    holds storage indices, and the VJP returns ``d_fields`` in storage order
+    (exp_offsets/exp_counts stay rank-indexed — see ``ops/binning.py``).
 
     When not differentiated, XLA dead-code-eliminates the gradient-map
     arguments (and their binning cost) automatically.
@@ -731,7 +729,8 @@ def composite_splats_pallas(
 
 def _csp_fwd(
     fields, pair_splat, tile_base, tile_phi, tile_span, grad_base,
-    dest_of_exp, exp_offsets, exp_counts, row_offset, nty, ntx, config, interpret,
+    dest_of_exp, exp_offsets, exp_counts, row_offset, order,
+    nty, ntx, config, interpret,
 ):
     from ..binning import grad_pad_size  # local import: avoid cycle
 
@@ -746,7 +745,7 @@ def _csp_fwd(
     res = (
         payload, tile_base, tile_phi, tile_span, used, grad_base,
         dest_of_exp, exp_offsets, exp_counts, row_offset, out, tchk,
-        pair_splat,
+        pair_splat, order,
     )
     return out, res
 
@@ -755,7 +754,7 @@ def _csp_bwd(nty, ntx, config, interpret, res, g):
     (
         payload, tile_base, tile_phi, tile_span, used, grad_base,
         dest_of_exp, exp_offsets, exp_counts, row_offset, out, tchk,
-        pair_splat,
+        pair_splat, order,
     ) = res
     from ..binning import grad_pad_size
 
@@ -775,7 +774,9 @@ def _csp_bwd(nty, ntx, config, interpret, res, g):
     q = jnp.where(keep, dest_of_exp, ~dest_of_exp)
     d_exp = jnp.where(keep[None, :], d_grad_space[:C_USED][:, q], 0.0)
     # segsum returns (16, N); rows ≥ C_USED carry the cid reduction / zeros.
-    d_fields = segsum_by_splat(d_exp, exp_offsets, exp_counts, interpret)[:C_USED]
+    d_fields = segsum_by_splat(
+        d_exp, exp_offsets, exp_counts, interpret, order=order
+    )[:C_USED]
     return (
         d_fields,
         _int0(pair_splat),
@@ -787,6 +788,7 @@ def _csp_bwd(nty, ntx, config, interpret, res, g):
         _int0(exp_offsets),
         _int0(exp_counts),
         _int0(row_offset),
+        None if order is None else _int0(order),
     )
 
 

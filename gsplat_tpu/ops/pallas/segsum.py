@@ -39,7 +39,9 @@ from jax.experimental.pallas import tpu as pltpu
 C_SS = 16    # kernel payload rows: gradients (0..9) + cid carrier (row 10) +
              # zero fill (Mosaic DMA slices must be 8-aligned on sublanes).
 ROW_CID = 10  # payload row carrying the per-pair compact splat id (f32)
-BLK = 128    # compact splats per grid program
+BLK = 512    # compact splats per grid program (large: the per-grid-step
+             # overhead dominates at small blocks — 7.8k programs at BLK=128
+             # cost ~8 ms of pure sequencing at 1M splats)
 CHK = 256    # pairs per DMA chunk
 
 
@@ -80,13 +82,26 @@ def _segsum_kernel(
 
         dma(slot, ci).wait()
 
-        cid_row = buf[slot, ROW_CID : ROW_CID + 1, :]        # (1, CHK)
-        onehot_t = (cid_row == iota_bc).astype(jnp.float32)  # (BLK, CHK)
-        part = jax.lax.dot_general(
-            buf[slot],
-            onehot_t,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        cid_row = buf[slot, ROW_CID : ROW_CID + 1, :]         # (1, CHK)
+        onehot_t = (cid_row == iota_bc).astype(jnp.bfloat16)  # (BLK, CHK), exact
+
+        # Manual bf16x3 split of the gradient operand: the MXU truncates f32
+        # operands to bf16 at DEFAULT precision, corrupting the sums on real
+        # silicon (caught on-chip by scripts/verify_tpu.py; interpreter-mode
+        # tests compute exact f32 and can't see it).  Three bf16 terms carry
+        # all 24 mantissa bits; each matmul's products are exact (×0/1) and
+        # accumulate in f32.  Mosaic rejects per-operand precision and
+        # uniform HIGHEST would split the 0/1 side too (9 passes, not 3).
+        g = buf[slot]
+        g1 = g.astype(jnp.bfloat16)
+        r1 = g - g1.astype(jnp.float32)
+        g2 = r1.astype(jnp.bfloat16)
+        g3 = (r1 - g2.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((1,), (1,)), ((), ()))
+        part = (
+            jax.lax.dot_general(g1, onehot_t, dn, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(g2, onehot_t, dn, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(g3, onehot_t, dn, preferred_element_type=jnp.float32)
         )  # (C_PAD, BLK)
         return acc + part
 
@@ -119,11 +134,17 @@ def _build_segsum(nblocks: int, p_q: int, interpret: bool):
 
 def segsum_by_splat(
     d_exp: jnp.ndarray,      # (10, budget) f32 — pair grads, expansion order
-    exp_offsets: jnp.ndarray,  # (N,) int32 — splat s's pairs at [off, off+cnt)
-    exp_counts: jnp.ndarray,   # (N,) int32
+    exp_offsets: jnp.ndarray,  # (N,) int32 — rank r's pairs at [off, off+cnt)
+    exp_counts: jnp.ndarray,   # (N,) int32 — indexed by depth rank
     interpret: bool = False,
+    order: jnp.ndarray = None,  # (N,) int32 — storage index of rank r
 ) -> jnp.ndarray:
-    """Sum pair-gradient columns per splat.  Returns (10, N) f32."""
+    """Sum pair-gradient columns per splat.  Returns (10, N) f32.
+
+    Expansion order groups pairs by *depth rank*; with ``order`` (the depth
+    permutation) the result is returned in **storage order** — one packed
+    int32 scatter through the permutation, instead of un-permuting the whole
+    10-row gradient matrix."""
     n = exp_offsets.shape[0]
     budget = d_exp.shape[1]
     total = jnp.minimum(
@@ -170,6 +191,15 @@ def segsum_by_splat(
 
     call = _build_segsum(nblocks, p_q, interpret)
     d_comp = call(bstart, d_exp)  # (C_SS, nblocks*BLK)
+
+    if order is not None:
+        # cid/nonzero are rank-indexed; route them to storage order with ONE
+        # packed int32 scatter through the permutation (cid+1 ≥ 0 so the
+        # shift never underflows), then take in storage order directly.
+        packed = ((cid_splat + 1) << 1) | nonzero.astype(jnp.int32)
+        packed_o = jnp.zeros((n,), jnp.int32).at[order].set(packed)
+        nonzero = (packed_o & 1) == 1
+        cid_splat = (packed_o >> 1) - 1
 
     # Gather only the 10 gradient rows (element-sequential gather unit);
     # rows ≥ 10 of the kernel output carry the cid reduction / zero fill.

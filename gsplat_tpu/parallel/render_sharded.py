@@ -36,13 +36,9 @@ from ..models.camera import Camera
 from ..models.splats import GaussianSplats
 from ..ops.binning import bin_splats, tile_grid, warn_if_dropped
 from ..ops.pallas.composite import composite_splats_pallas, unpack_image
-from ..ops.projection import ProjectedSplats, project_splats
+from ..ops.projection import ROW_DEPTH, ProjectedSplats, project_splats
 from ..ops.rasterize_ref import sanitize_projected
-from ..ops.rasterize_tiles import (
-    build_tile_lists,
-    composite_tile_lists,
-    sort_by_depth,
-)
+from ..ops.rasterize_tiles import build_tile_lists, composite_tile_lists
 from ..utils.config import RenderConfig
 from .mesh import SPLAT_AXIS, pad_to_multiple
 
@@ -93,26 +89,29 @@ def shard_splats(splats: GaussianSplats, mesh: Mesh, axis: str = SPLAT_AXIS) -> 
 
 
 def _render_strip(
-    projected_sorted,
+    projected,
     width: int,
     strip_h: int,
     row_offset,
     config: RenderConfig,
     backend: str,
+    order=None,
 ):
     """Bin + composite one horizontal strip of tile rows (local to a device).
 
-    ``projected_sorted`` is the full, depth-sorted, sanitized projected-splat
-    set; ``row_offset`` (traced int, in tiles) selects the strip.  Splat
-    coordinates are never shifted — tile indices and pixel coordinates use
-    exact integer offsets, so every strip is bit-identical to the matching
-    rows of a full-frame render.
+    ``projected`` is the full sanitized projected-splat set — depth-sorted
+    when ``order`` is None, in storage order with ``order`` holding the
+    depth permutation otherwise; ``row_offset`` (traced int, in tiles)
+    selects the strip.  Splat coordinates are never shifted — tile indices
+    and pixel coordinates use exact integer offsets, so every strip is
+    bit-identical to the matching rows of a full-frame render.
     """
-    p = projected_sorted
+    p = projected
     binned = bin_splats(
         p, width, strip_h, config, row_offset=row_offset,
         with_tiles=(backend != "pallas"),
         with_grad_map=(backend == "pallas"),
+        order=order,
     )
     warn_if_dropped(binned, config)
     nty, ntx = tile_grid(width, strip_h, config.tile_h, config.tile_w)
@@ -128,6 +127,7 @@ def _render_strip(
             binned.exp_offsets,
             binned.exp_counts,
             jnp.reshape(row_offset, (1,)).astype(jnp.int32),
+            order,
             nty,
             ntx,
             config,
@@ -168,11 +168,15 @@ def render_sharded(
         # Compact payload exchange (one collective): every device needs every
         # projected splat's (16,)-field column, never the raw parameters.
         full = jax.lax.all_gather(p.fields, axis, axis=1, tiled=True)
-        p_sorted = sort_by_depth(ProjectedSplats(fields=full))
+        # Replicated depth argsort of the gathered keys — identical
+        # permutation everywhere (the fields are never permuted; the order
+        # threads through the binning).
+        order = jnp.argsort(full[ROW_DEPTH])
         di = jax.lax.axis_index(axis)
         row_offset = di * (strip_h // config.tile_h)
         return _render_strip(
-            p_sorted, camera.width, strip_h, row_offset, config, backend
+            ProjectedSplats(fields=full), camera.width, strip_h, row_offset,
+            config, backend, order=order,
         )
 
     in_specs = (splat_sharding_spec(axis),)

@@ -22,10 +22,9 @@ from .models.camera import Camera
 from .models.splats import GaussianSplats
 from .ops.binning import bin_splats, tile_grid, warn_if_dropped
 from .ops.pallas.composite import composite_splats_pallas, unpack_image
-from .ops.permute import permute_cols
-from .ops.projection import ProjectedSplats, project_splats
+from .ops.projection import ROW_DEPTH, ProjectedSplats, project_splats
 from .ops.rasterize_ref import render_reference, sanitize_projected
-from .ops.rasterize_tiles import render_tiles, sort_by_depth
+from .ops.rasterize_tiles import render_tiles
 from .utils.config import RenderConfig
 
 
@@ -47,12 +46,15 @@ def render_pallas(
         tight_footprint=not config.soft_cutoff, only_sh=config.only_sh,
     )
     p = sanitize_projected(projected)
+    # Fields stay in storage order: only the depth *permutation* is computed
+    # (the reference's global argsort, ``src/GSplatRenderer.C:176-216``) and
+    # threaded through the binning — permuting the (16, N) field matrix (and
+    # un-permuting its cotangent) would cost two multi-row gathers per frame.
     if order is None:
-        p = sort_by_depth(p)
-    else:
-        p = ProjectedSplats(fields=permute_cols(p.fields, order, 10))
+        order = jnp.argsort(p.fields[ROW_DEPTH])
     binned = bin_splats(
-        p, camera.width, camera.height, config, with_tiles=False, with_grad_map=True
+        p, camera.width, camera.height, config,
+        with_tiles=False, with_grad_map=True, order=order,
     )
     warn_if_dropped(binned, config)
     nty, ntx = tile_grid(camera.width, camera.height, config.tile_h, config.tile_w)
@@ -72,6 +74,7 @@ def render_pallas(
         binned.exp_offsets,
         binned.exp_counts,
         jnp.zeros((1,), jnp.int32),
+        order,
         nty,
         ntx,
         config,

@@ -22,9 +22,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.camera import Camera
 from ..parallel.mesh import BATCH_AXIS, SPLAT_AXIS, pad_to_multiple
 from ..parallel.render_sharded import _render_strip
-from ..ops.projection import ProjectedSplats, project_splats
+from ..ops.projection import ROW_DEPTH, ProjectedSplats, project_splats
 from ..ops.rasterize_ref import sanitize_projected
-from ..ops.rasterize_tiles import sort_by_depth
 from ..render import render
 from ..utils.config import RenderConfig
 from .loss import l1_loss, render_loss
@@ -125,7 +124,6 @@ def make_sharded_train_step(
 
         def loss_fn(p):
             splats = splats_from_params(p)
-            projected_by_cam = []
             si = jax.lax.axis_index(SPLAT_AXIS)
             row_offset = si * (strip_h // config.tile_h)
             total = 0.0
@@ -135,9 +133,10 @@ def make_sharded_train_step(
                 )
                 pr = sanitize_projected(project_splats(splats, cam_b, config.sh_order))
                 full = jax.lax.all_gather(pr.fields, SPLAT_AXIS, axis=1, tiled=True)
-                pr_sorted = sort_by_depth(ProjectedSplats(fields=full))
+                order_b = jnp.argsort(full[ROW_DEPTH])
                 strip = _render_strip(
-                    pr_sorted, camera.width, strip_h, row_offset, config, backend
+                    ProjectedSplats(fields=full), camera.width, strip_h,
+                    row_offset, config, backend, order=order_b,
                 )
                 rgb = strip[..., :3] + (1.0 - strip[..., 3:4])
                 total = total + l1_loss(rgb, targets_l[b])

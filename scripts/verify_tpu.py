@@ -1,0 +1,82 @@
+"""On-chip correctness gate for the fused Pallas kernels.
+
+The interpreter-mode tests (``tests/test_pallas_composite.py``) prove the
+kernel *logic*; this script proves the Mosaic *compilation* on real hardware:
+it renders the same scene through the fused Pallas kernels and through the
+pure-XLA tiled backend ON THE CURRENT DEFAULT DEVICE and compares the images
+and the parameter gradients.  ``bench.py`` calls :func:`verify` and embeds
+the verdict in its JSON line, so a Mosaic miscompile can never ship behind a
+good-looking fps number.
+
+Runnable standalone:  ``python scripts/verify_tpu.py``
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GRAD_FIELDS = ("pos", "orient", "scale", "opacity", "color", "sh")
+
+
+def verify(n: int = 4000, width: int = 256, height: int = 256) -> dict:
+    """Render pallas vs tiles on the default device; compare image + grads.
+
+    Returns a dict with ``ok`` plus the measured diffs.  Tolerances follow
+    ``tests/test_pallas_composite.py``: image atol 1e-5 (identical math in
+    identical order — bit-equal in practice), per-field gradient atol
+    2e-4 · max(1, |g|_max) (the MXU-batched per-splat reductions sum in a
+    different order than XLA's scan autodiff).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import gsplat_tpu as gt
+    from gsplat_tpu.render import render_pallas
+
+    # Exact-parity config: no early termination, roomy capacity.
+    cfg = gt.RenderConfig(tile_capacity=512, transmittance_eps=0.0)
+    splats = gt.random_splats(jax.random.PRNGKey(3), n, extent=0.8, sh_scale=0.2)
+    cam = gt.make_camera(
+        eye=[0.2, 0.4, 3.0], target=[0, 0, 0], width=width, height=height
+    )
+    # Real Mosaic kernels on TPU; interpreter when run on CPU (dev machines).
+    interpret = jax.default_backend() == "cpu"
+
+    img_t = np.asarray(jax.jit(lambda s: gt.render_tiles(s, cam, cfg))(splats))
+    img_p = np.asarray(
+        jax.jit(lambda s: render_pallas(s, cam, cfg, interpret=interpret))(splats)
+    )
+    img_diff = float(np.abs(img_p - img_t).max())
+
+    w = jax.random.normal(jax.random.PRNGKey(5), (height, width, 4))
+    g_t = jax.jit(jax.grad(lambda s: jnp.sum(gt.render_tiles(s, cam, cfg) * w)))(splats)
+    g_p = jax.jit(
+        jax.grad(
+            lambda s: jnp.sum(render_pallas(s, cam, cfg, interpret=interpret) * w)
+        )
+    )(splats)
+    grad_diff = 0.0  # max over fields of max|Δ| / max(1, |g_tiles|_max)
+    for f in GRAD_FIELDS:
+        a = np.asarray(getattr(g_t, f))
+        b = np.asarray(getattr(g_p, f))
+        grad_diff = max(grad_diff, float(np.abs(b - a).max() / max(1.0, np.abs(a).max())))
+
+    ok = bool(np.isfinite(img_diff) and np.isfinite(grad_diff)
+              and img_diff < 1e-5 and grad_diff < 2e-4)
+    return {
+        "ok": ok,
+        "backend": jax.default_backend(),
+        "interpret": interpret,
+        "img_max_abs_diff": img_diff,
+        "grad_max_rel_diff": grad_diff,
+        "n": n,
+        "size": [width, height],
+    }
+
+
+if __name__ == "__main__":
+    import json
+
+    print(json.dumps(verify()))
