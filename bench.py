@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--fwd-only", action="store_true")
     ap.add_argument("--backend", default="auto")
+    ap.add_argument("--ply", default=None,
+                    help="bench a real 3DGS point_cloud.ply instead of the synthetic scene")
     ap.add_argument("--skip-parity", action="store_true",
                     help="skip the on-chip pallas-vs-tiles correctness gate")
     args = ap.parse_args()
@@ -33,10 +35,14 @@ def main():
     import gsplat_tpu as gt
 
     key = jax.random.PRNGKey(0)
-    # a scene that covers the frame with realistic footprints + full SH
-    splats = gt.random_splats(
-        key, args.splats, extent=1.2, scale_range=(0.002, 0.01), sh_scale=0.1
-    )
+    if args.ply:
+        splats = gt.load_ply(args.ply)
+        args.splats = splats.count
+    else:
+        # a scene that covers the frame with realistic footprints + full SH
+        splats = gt.random_splats(
+            key, args.splats, extent=1.2, scale_range=(0.002, 0.01), sh_scale=0.1
+        )
     cam = gt.make_camera(
         eye=[0.0, 0.4, 3.0], target=[0, 0, 0], width=args.width, height=args.height
     )

@@ -142,9 +142,12 @@ def warn_if_dropped(binned: "BinnedPairs", config: RenderConfig) -> None:
     """Surface ``dropped_pairs`` from inside a jitted render via an async
     host callback — the analogue of the reference's budget-cull warning
     (``src/GSplatRenderer.C:366-376``), once-per-condition with re-arm when
-    the overflow clears.  No-op when ``config.warn_on_drop`` is False or the
-    backend cannot host callbacks."""
+    the overflow clears.  No-op when ``config.warn_on_drop`` is False, the
+    backend cannot host callbacks, or the value is not fully addressable
+    (multi-process runs: each process only holds its shard)."""
     if not config.warn_on_drop or not _backend_supports_callbacks():
+        return
+    if jax.process_count() > 1:
         return
     jax.debug.callback(_warn_dropped_cb, binned.dropped_pairs)
 
@@ -175,6 +178,7 @@ def bin_splats(
     with_tiles: bool = True,
     with_grad_map: bool = False,
     order: jax.Array = None,
+    budget: int = None,
 ) -> BinnedPairs:
     """Bin sanitized projected splats into tiles.
 
@@ -195,12 +199,20 @@ def bin_splats(
     horizontal strip [row_offset·tile_h, row_offset·tile_h + height) without
     shifting splat coordinates (tile indices are offset by exact integer
     arithmetic, so strip binning is bit-identical to the full-frame bin).
+
+    ``budget`` (static int): overrides ``config.pair_budget(n)`` — the
+    sharded renderer passes a per-strip budget that scales ~1/d so every
+    pair-proportional array (and its gathers/sorts) shrinks with the device
+    count.  Counts are strip-local (splats outside the strip are culled
+    above), so truncation semantics are unchanged: farthest pairs drop
+    first, reported in ``dropped_pairs``.
     """
     f = sorted_projected.fields
     n = sorted_projected.count
     nty, ntx = tile_grid(width, height, config.tile_h, config.tile_w)
     num_tiles = nty * ntx
-    budget = config.pair_budget(n)
+    if budget is None:
+        budget = config.pair_budget(n)
     row_offset = jnp.asarray(row_offset, dtype=jnp.int32)
     y_base = (row_offset * config.tile_h).astype(jnp.float32)
 

@@ -60,7 +60,12 @@ C_PAD = 16         # payload rows in HBM/SMEM: Mosaic requires DMA slices
                    # cost = rows × queries), so they run on 10-row views and
                    # the zero rows are appended by a cheap fused pad.
 C_USED = 10        # payload rows the kernels read / gradients exist for
-N_SUMS = 10        # per-splat gradient reductions batched through gmat
+N_SUMS = 9         # per-pair raw moment rows batched through gmat: the quad
+                   # basis is per-splat, so the 10 gradient scalars are
+                   # per-splat linear combinations of 9 pixel sums
+                   # (Σdp2, Σdp2·dx, Σdp2·dy, Σdp2·dx², Σdp2·dxdy, Σdp2·dy²,
+                   # Σdc·w ×3) — one less reduction and no per-pair qx/qy
+                   # recompute in the gradient walk
 UNROLL = 4         # forward compositing loop unroll (must divide chunk)
 
 
@@ -401,10 +406,6 @@ def _bwd_kernel(
             sr, sg, sb, rr = s
             cx = buf[slot, 0, i]
             cy = buf[slot, 1, i]
-            ax = buf[slot, 2, i]
-            ay = buf[slot, 3, i]
-            bx = buf[slot, 4, i]
-            by = buf[slot, 5, i]
             r = buf[slot, 6, i]
             g = buf[slot, 7, i]
             b = buf[slot, 8, i]
@@ -421,32 +422,30 @@ def _bwd_kernel(
             if not soft_cutoff:
                 active = active & (alpha > 0.0)
             ga = jnp.where(active, d_alpha, 0.0)
-            gaa = ga * alpha
-            dp2 = -2.0 * gaa  # 2·d_power, folded once instead of per axis
+            dp2 = -2.0 * ga * alpha  # 2·d_power, folded once
             dx = px - cx
             dy = py - cy
-            qx = dx * ax + dy * ay
-            qy = dx * bx + dy * by
-            d_qx = qx * dp2
-            d_qy = qy * dp2
+            t1 = dp2 * dx
+            t2 = dp2 * dy
 
-            # 10 sublane-reduced lane-rows; the lane reduction happens for
-            # the whole chunk at once in the chunk-end mat-vec.
+            # 9 sublane-reduced raw-moment lane-rows; the lane reduction for
+            # the whole chunk happens at chunk end, and the quad-basis
+            # combines (which only need per-splat ax/ay/bx/by) happen there
+            # too — no per-pair qx/qy.
             def put(kk, v):
                 gmat[pl.ds(kk * chunk + i, 1), :] = jnp.sum(
                     v, axis=0, keepdims=True
                 )
 
-            put(0, d_qx)
-            put(1, d_qy)
-            put(2, d_qx * dx)
-            put(3, d_qx * dy)
-            put(4, d_qy * dx)
-            put(5, d_qy * dy)
+            put(0, dp2)
+            put(1, t1)
+            put(2, t2)
+            put(3, t1 * dx)
+            put(4, t1 * dy)
+            put(5, t2 * dy)
             put(6, dc_r * w_i)
             put(7, dc_g * w_i)
             put(8, dc_b * w_i)
-            put(9, gaa)
             om = 1.0 - alpha
             return (
                 r * alpha + om * sr,
@@ -469,9 +468,9 @@ def _bwd_kernel(
         def seg(kk):  # (chunk, 1) raw sum per splat
             return sums[kk * chunk : (kk + 1) * chunk]
 
-        s_dqx, s_dqy = seg(0), seg(1)
-        s_dqx_dx, s_dqx_dy = seg(2), seg(3)
-        s_dqy_dx, s_dqy_dy = seg(4), seg(5)
+        s_dp2 = seg(0)
+        u_x, u_y = seg(1), seg(2)
+        t_xx, t_xy, t_yy = seg(3), seg(4), seg(5)
 
         # payload block transposed to (chunk, C_PAD): splats on sublanes.
         # Native Mosaic transpose — bit-exact (an MXU eye-matmul at DEFAULT
@@ -484,19 +483,24 @@ def _bwd_kernel(
         byv = buf_t[:, 5:6]
         opv = buf_t[:, 9:10]
 
+        # Quad-basis combines of the raw moments (qx = ax·dx + ay·dy etc.):
+        #   Σd_qx      = ax·U_x + ay·U_y,       Σd_qy      = bx·U_x + by·U_y
+        #   Σd_qx·dx   = ax·T_xx + ay·T_xy, ... (T = dp2-weighted moments)
+        s_dqx = axv * u_x + ayv * u_y
+        s_dqy = bxv * u_x + byv * u_y
         dtt[:, 0:1] = -(axv * s_dqx + bxv * s_dqy)
         dtt[:, 1:2] = -(ayv * s_dqx + byv * s_dqy)
-        dtt[:, 2:3] = s_dqx_dx
-        dtt[:, 3:4] = s_dqx_dy
-        dtt[:, 4:5] = s_dqy_dx
-        dtt[:, 5:6] = s_dqy_dy
+        dtt[:, 2:3] = axv * t_xx + ayv * t_xy
+        dtt[:, 3:4] = axv * t_xy + ayv * t_yy
+        dtt[:, 4:5] = bxv * t_xx + byv * t_xy
+        dtt[:, 5:6] = bxv * t_xy + byv * t_yy
         dtt[:, 6:7] = seg(6)
         dtt[:, 7:8] = seg(7)
         dtt[:, 8:9] = seg(8)
-        # exp(−power) = alpha/opacity where unclamped; binning culls
-        # opacity < 1/255 so the divide is safe for real pairs, and
-        # masked/sentinel pairs (op=0) have alpha ≡ 0.
-        dtt[:, 9:10] = seg(9) * (1.0 / jnp.maximum(opv, 1e-20))
+        # dop = Σ ga·α / op, and Σga·α = −Σdp2/2.  exp(−power) = α/op where
+        # unclamped; binning culls opacity < 1/255 so the divide is safe for
+        # real pairs, and masked/sentinel pairs (op=0) have α ≡ 0.
+        dtt[:, 9:10] = (-0.5) * s_dp2 * (1.0 / jnp.maximum(opv, 1e-20))
         dtt[:, C_USED:C_PAD] = jnp.zeros((chunk, C_PAD - C_USED), jnp.float32)
 
         # transpose back to payload layout (C_PAD, chunk) — native, exact.
@@ -770,9 +774,17 @@ def _csp_bwd(nty, ntx, config, interpret, res, g):
     # decode to a spread in-range dummy query (duplicate-query hotspots
     # serialize TPU gathers) and mask the gathered garbage to exact zeros
     # (``where`` keeps any NaN in unwritten tail columns out of the sum).
+    #
+    # Split 8+2: TPU gather cost is per query × ceil(padded_rows/8), so one
+    # 10-row gather pays for 16 sublanes per query while two ≤8-row gathers
+    # pay 8+8 *in separate cheaper ops* — measured 55 → 37 ms at 3.1M pairs.
     keep = dest_of_exp >= 0
     q = jnp.where(keep, dest_of_exp, ~dest_of_exp)
-    d_exp = jnp.where(keep[None, :], d_grad_space[:C_USED][:, q], 0.0)
+    d_exp = jnp.where(
+        keep[None, :],
+        jnp.concatenate([d_grad_space[:8][:, q], d_grad_space[8:C_USED][:, q]]),
+        0.0,
+    )
     # segsum returns (16, N); rows ≥ C_USED carry the cid reduction / zeros.
     d_fields = segsum_by_splat(
         d_exp, exp_offsets, exp_counts, interpret, order=order

@@ -201,7 +201,11 @@ def segsum_by_splat(
         nonzero = (packed_o & 1) == 1
         cid_splat = (packed_o >> 1) - 1
 
-    # Gather only the 10 gradient rows (element-sequential gather unit);
+    # Gather only the 10 gradient rows, split 8+2 (gather cost is per query
+    # × ceil(padded_rows/8) — two ≤8-row gathers beat one 10-row gather);
     # rows ≥ 10 of the kernel output carry the cid reduction / zero fill.
-    d = jnp.take(d_comp[:10], jnp.maximum(cid_splat, 0), axis=1)
+    cid_q = jnp.maximum(cid_splat, 0)
+    d = jnp.concatenate(
+        [jnp.take(d_comp[:8], cid_q, axis=1), jnp.take(d_comp[8:10], cid_q, axis=1)]
+    )
     return jnp.where(nonzero[None, :], d, 0.0)

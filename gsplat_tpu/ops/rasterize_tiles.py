@@ -163,12 +163,11 @@ def render_tiles(
         tight_footprint=not config.soft_cutoff, only_sh=config.only_sh,
     )
     p = sanitize_projected(projected)
-    # Fields stay in storage order; only the depth permutation is computed
-    # and threaded through the binning (tile lists then hold storage
-    # indices) — same pair sequence, no (16, N) permute.
     if order is None:
-        order = jnp.argsort(p.fields[ROW_DEPTH])
-    binned = bin_splats(p, camera.width, camera.height, config, order=order)
+        p = sort_by_depth(p)
+    else:
+        p = ProjectedSplats(fields=permute_cols(p.fields, order, 10))
+    binned = bin_splats(p, camera.width, camera.height, config)
     warn_if_dropped(binned, config)
     nty, ntx = tile_grid(camera.width, camera.height, config.tile_h, config.tile_w)
     lists = build_tile_lists(binned, nty * ntx, config.tile_capacity, p.count)

@@ -36,9 +36,13 @@ from ..models.camera import Camera
 from ..models.splats import GaussianSplats
 from ..ops.binning import bin_splats, tile_grid, warn_if_dropped
 from ..ops.pallas.composite import composite_splats_pallas, unpack_image
-from ..ops.projection import ROW_DEPTH, ProjectedSplats, project_splats
+from ..ops.projection import ProjectedSplats, project_splats
 from ..ops.rasterize_ref import sanitize_projected
-from ..ops.rasterize_tiles import build_tile_lists, composite_tile_lists
+from ..ops.rasterize_tiles import (
+    build_tile_lists,
+    composite_tile_lists,
+    sort_by_depth,
+)
 from ..utils.config import RenderConfig
 from .mesh import SPLAT_AXIS, pad_to_multiple
 
@@ -96,6 +100,7 @@ def _render_strip(
     config: RenderConfig,
     backend: str,
     order=None,
+    n_strips: int = 1,
 ):
     """Bin + composite one horizontal strip of tile rows (local to a device).
 
@@ -112,6 +117,7 @@ def _render_strip(
         with_tiles=(backend != "pallas"),
         with_grad_map=(backend == "pallas"),
         order=order,
+        budget=config.strip_pair_budget(p.count, n_strips),
     )
     warn_if_dropped(binned, config)
     nty, ntx = tile_grid(width, strip_h, config.tile_h, config.tile_w)
@@ -168,15 +174,12 @@ def render_sharded(
         # Compact payload exchange (one collective): every device needs every
         # projected splat's (16,)-field column, never the raw parameters.
         full = jax.lax.all_gather(p.fields, axis, axis=1, tiled=True)
-        # Replicated depth argsort of the gathered keys — identical
-        # permutation everywhere (the fields are never permuted; the order
-        # threads through the binning).
-        order = jnp.argsort(full[ROW_DEPTH])
+        p_sorted = sort_by_depth(ProjectedSplats(fields=full))
         di = jax.lax.axis_index(axis)
         row_offset = di * (strip_h // config.tile_h)
         return _render_strip(
-            ProjectedSplats(fields=full), camera.width, strip_h, row_offset,
-            config, backend, order=order,
+            p_sorted, camera.width, strip_h, row_offset, config, backend,
+            n_strips=d,
         )
 
     in_specs = (splat_sharding_spec(axis),)

@@ -22,9 +22,10 @@ from .models.camera import Camera
 from .models.splats import GaussianSplats
 from .ops.binning import bin_splats, tile_grid, warn_if_dropped
 from .ops.pallas.composite import composite_splats_pallas, unpack_image
-from .ops.projection import ROW_DEPTH, ProjectedSplats, project_splats
+from .ops.permute import permute_cols
+from .ops.projection import ProjectedSplats, project_splats
 from .ops.rasterize_ref import render_reference, sanitize_projected
-from .ops.rasterize_tiles import render_tiles
+from .ops.rasterize_tiles import render_tiles, sort_by_depth
 from .utils.config import RenderConfig
 
 
@@ -46,15 +47,18 @@ def render_pallas(
         tight_footprint=not config.soft_cutoff, only_sh=config.only_sh,
     )
     p = sanitize_projected(projected)
-    # Fields stay in storage order: only the depth *permutation* is computed
-    # (the reference's global argsort, ``src/GSplatRenderer.C:176-216``) and
-    # threaded through the binning — permuting the (16, N) field matrix (and
-    # un-permuting its cotangent) would cost two multi-row gathers per frame.
+    # Fields ARE permuted into depth order here (one 16-row gather), and the
+    # binning then works purely in rank space.  The storage-order variant
+    # (``bin_splats(..., order=...)`` + storage-index pair_splat) was built
+    # and measured SLOWER on-chip: TPU gather cost is per *query* ×
+    # ceil(rows/8), so its three extra 1-row reorder gathers (~44 ms at
+    # 1M/1080p) dwarf the one 16-row permute (~13 ms) they replace.
     if order is None:
-        order = jnp.argsort(p.fields[ROW_DEPTH])
+        p = sort_by_depth(p)
+    else:
+        p = ProjectedSplats(fields=permute_cols(p.fields, order, 10))
     binned = bin_splats(
-        p, camera.width, camera.height, config,
-        with_tiles=False, with_grad_map=True, order=order,
+        p, camera.width, camera.height, config, with_tiles=False, with_grad_map=True
     )
     warn_if_dropped(binned, config)
     nty, ntx = tile_grid(camera.width, camera.height, config.tile_h, config.tile_w)
@@ -74,7 +78,7 @@ def render_pallas(
         binned.exp_offsets,
         binned.exp_counts,
         jnp.zeros((1,), jnp.int32),
-        order,
+        None,
         nty,
         ntx,
         config,

@@ -85,6 +85,58 @@ def render_loss(
     return loss
 
 
+def _halo_exchange(x: jnp.ndarray, axis_name: str, n_strips: int, halo: int) -> jnp.ndarray:
+    """Extend a row strip with ``halo`` rows from each neighbour over the
+    mesh axis.  Devices with no neighbour receive ppermute's zero fill —
+    exactly the SAME zero padding the full-image convolution applies at the
+    global top/bottom edges."""
+    up = jax.lax.ppermute(
+        x[-halo:], axis_name, [(i, i + 1) for i in range(n_strips - 1)]
+    )
+    dn = jax.lax.ppermute(
+        x[:halo], axis_name, [(i + 1, i) for i in range(n_strips - 1)]
+    )
+    return jnp.concatenate([up, x, dn], axis=0)
+
+
+def ssim_strip(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    axis_name: str,
+    n_strips: int,
+    window_size: int = 11,
+    sigma: float = 1.5,
+    c1: float = 0.01**2,
+    c2: float = 0.03**2,
+) -> jnp.ndarray:
+    """Per-strip mean SSIM under row-strip sharding (SPMD).
+
+    Each device holds a horizontal strip of the image; the 11×11 SSIM
+    windows near strip boundaries need up to 5 neighbour rows, exchanged
+    with ``jax.lax.ppermute`` (the halo pattern).  The cropped per-strip
+    SSIM map rows equal the full-image map rows, so the mean of the per-
+    strip means over equal strips IS the full-image mean SSIM (to float
+    rounding).  With ``n_strips == 1`` this reduces to :func:`ssim`.
+    """
+    if n_strips == 1:
+        return ssim(pred, target, window_size, sigma, c1, c2)
+    halo = window_size // 2
+    p = _halo_exchange(pred, axis_name, n_strips, halo)
+    t = _halo_exchange(target, axis_name, n_strips, halo)
+    w = _gaussian_window(window_size, sigma)
+    mu_p = _filter2d_separable(p, w)
+    mu_t = _filter2d_separable(t, w)
+    mu_pp = mu_p * mu_p
+    mu_tt = mu_t * mu_t
+    mu_pt = mu_p * mu_t
+    var_p = _filter2d_separable(p * p, w) - mu_pp
+    var_t = _filter2d_separable(t * t, w) - mu_tt
+    cov = _filter2d_separable(p * t, w) - mu_pt
+    num = (2.0 * mu_pt + c1) * (2.0 * cov + c2)
+    den = (mu_pp + mu_tt + c1) * (var_p + var_t + c2)
+    return jnp.mean((num / den)[halo:-halo])
+
+
 def psnr(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     mse = jnp.mean(jnp.square(pred - target))
     return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))

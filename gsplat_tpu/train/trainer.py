@@ -22,11 +22,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.camera import Camera
 from ..parallel.mesh import BATCH_AXIS, SPLAT_AXIS, pad_to_multiple
 from ..parallel.render_sharded import _render_strip
-from ..ops.projection import ROW_DEPTH, ProjectedSplats, project_splats
+from ..ops.projection import ProjectedSplats, project_splats
 from ..ops.rasterize_ref import sanitize_projected
+from ..ops.rasterize_tiles import sort_by_depth
 from ..render import render
 from ..utils.config import RenderConfig
-from .loss import l1_loss, render_loss
+from .loss import l1_loss, render_loss, ssim_strip
 from .params import SplatParams, splats_from_params
 
 
@@ -98,14 +99,17 @@ def make_sharded_train_step(
     config: RenderConfig = RenderConfig(),
     backend: str = "auto",
     batch_per_step: int = None,
+    lambda_dssim: float = 0.2,
 ) -> Callable:
     """SPMD train step over a (dp, sp) mesh.
 
     Layout: params + optimizer state sharded over ``sp`` (every device holds
     N/sp splats and their Adam moments — memory-scalable); camera batch
     sharded over ``dp``; targets sharded (batch over ``dp``, image rows over
-    ``sp``).  Loss is plain L1 in sharded mode (SSIM windows would need halo
-    exchange between row strips).
+    ``sp``).  The loss is the full 3DGS objective (1−λ)·L1 + λ·(1−SSIM):
+    the 11×11 SSIM windows near strip boundaries read 5 neighbour rows via
+    a ``ppermute`` halo exchange (:func:`gsplat_tpu.train.loss.ssim_strip`),
+    so sharded and single-device losses agree to float rounding.
 
     Returns ``step(params, opt_state, views, projs, targets) →
     (params, opt_state, loss)`` where views/projs are (B, 4, 4) stacked
@@ -133,16 +137,22 @@ def make_sharded_train_step(
                 )
                 pr = sanitize_projected(project_splats(splats, cam_b, config.sh_order))
                 full = jax.lax.all_gather(pr.fields, SPLAT_AXIS, axis=1, tiled=True)
-                order_b = jnp.argsort(full[ROW_DEPTH])
+                pr_sorted = sort_by_depth(ProjectedSplats(fields=full))
                 strip = _render_strip(
-                    ProjectedSplats(fields=full), camera.width, strip_h,
-                    row_offset, config, backend, order=order_b,
+                    pr_sorted, camera.width, strip_h, row_offset, config,
+                    backend, n_strips=sp,
                 )
                 rgb = strip[..., :3] + (1.0 - strip[..., 3:4])
-                total = total + l1_loss(rgb, targets_l[b])
-            # 1/sp: the global loss is the *mean* of per-strip L1s, but the
-            # all_gather transpose (psum_scatter) will *sum* per-strip grads
-            # over sp — normalize here so the summed grads are the mean's.
+                loss_b = (1.0 - lambda_dssim) * l1_loss(rgb, targets_l[b])
+                if lambda_dssim > 0.0:
+                    loss_b = loss_b + lambda_dssim * (
+                        1.0 - ssim_strip(rgb, targets_l[b], SPLAT_AXIS, sp)
+                    )
+                total = total + loss_b
+            # 1/sp: the global loss is the *mean* of per-strip terms, but
+            # the all_gather transpose (psum_scatter) will *sum* per-strip
+            # grads over sp — normalize here so the summed grads are the
+            # mean's.
             return total / (b_local * sp)
 
         loss, grads = jax.value_and_grad(loss_fn)(params_l)

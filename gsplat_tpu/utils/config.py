@@ -78,10 +78,25 @@ class RenderConfig:
     # exact reference parity.
     soft_cutoff: bool = False
 
+    # Per-strip pair-budget headroom for the sharded renderer: a device
+    # rendering 1/d of the tile rows gets budget
+    # ceil(pairs_per_splat·N·strip_budget_factor/d) (clamped to the full
+    # budget), so pair-proportional memory and compute scale ~1/d.  2.0
+    # tolerates a 2× hotter-than-average strip; raise it for scenes with
+    # extreme vertical concentration (overflow drops farthest pairs with the
+    # cull warning, as always).
+    strip_budget_factor: float = 2.0
+
     # Hard cap on splats whose (tile,splat) pairs we materialise. Derived
     # pair budget = round(pairs_per_splat * N) at trace time.
     def pair_budget(self, n: int) -> int:
         return max(int(round(self.pairs_per_splat * n)), 8)
+
+    def strip_pair_budget(self, n: int, n_strips: int) -> int:
+        """Static per-strip budget for 1/``n_strips`` of the tile rows."""
+        full = self.pair_budget(n)
+        scaled = int(round(full * self.strip_budget_factor / max(n_strips, 1)))
+        return max(min(full, scaled), 4 * self.chunk)
 
     def __post_init__(self):
         if not 0 <= self.sh_order <= 3:

@@ -95,3 +95,20 @@ pad = nb * blk - budget
 qs = np.where(keep, dest, ~dest).astype(np.int32)
 qs_blk = np.sort(np.pad(qs, (0, pad)).reshape(nb, blk), axis=1).reshape(-1)[:budget]
 timeit("10row x 3.1M d_exp block(16k)-sorted", g10, src16, jnp.asarray(qs_blk))
+
+# --- split-row variants: output sublane padding means a 10-row gather pays
+# for 16 padded rows; two 5-row gathers pay 8+8 ---
+def g55(s, q):
+    return jnp.concatenate([s[:5][:, q], s[5:10][:, q]])
+def g82(s, q):
+    return jnp.concatenate([s[:8][:, q], s[8:10][:, q]])
+timeit("5+5 split x 3.1M d_exp pattern", g55, src16, q_dexp)
+timeit("8+2 split x 3.1M d_exp pattern", g82, src16, q_dexp)
+timeit("8row x 3.1M d_exp pattern", lambda s, q: s[:8][:, q], src16, q_dexp)
+timeit("2row x 3.1M d_exp pattern", lambda s, q: s[8:10][:, q], src16, q_dexp)
+timeit("5+5 split x 3.1M pair pattern (src 1M)", g55, srcN, q_pair)
+timeit("16row x 3.1M d_exp pattern", lambda s, q: s[:, q], src16, q_dexp)
+# ascending-with-duplicates at 1M (the segsum take pattern)
+q_dup = jnp.asarray(np.sort(rng.integers(0, N, N).astype(np.int32)))
+timeit("10row x 1M ascending-dup (src 1M)", g10, srcN, q_dup)
+timeit("10row x 1M random (src 1M)", g10, srcN, jnp.asarray(rng.integers(0, N, N, dtype=np.int32)))

@@ -1,8 +1,7 @@
 """Per-stage timing of the pallas render pipeline on the real chip.
 
-Times: projection / sanitize+argsort / binning / payload gather / composite
-fwd / full fwd / full fwd+bwd — each as an isolated jitted function, in the
-production (storage-order fields + depth permutation) flow.
+Times: projection / sanitize+sort / binning / payload gather / composite
+fwd / full fwd / full fwd+bwd — each as an isolated jitted function.
 """
 
 import os
@@ -17,8 +16,9 @@ import jax.numpy as jnp
 import gsplat_tpu as gt
 from gsplat_tpu.ops.binning import bin_splats, tile_grid
 from gsplat_tpu.ops.pallas.composite import _pad_rows, composite_pairs_pallas, unpack_image
-from gsplat_tpu.ops.projection import ROW_DEPTH, ProjectedSplats, project_splats
+from gsplat_tpu.ops.projection import ProjectedSplats, project_splats
 from gsplat_tpu.ops.rasterize_ref import sanitize_projected
+from gsplat_tpu.ops.rasterize_tiles import sort_by_depth
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 W, H = 1920, 1080
@@ -50,10 +50,9 @@ def timeit(name, fn, *args, iters=5):
 
 
 proj = timeit("project", lambda s: project_splats(s, cam, cfg.sh_order, tight_footprint=True), splats)
-san = timeit("sanitize+argsort", lambda p: (q := sanitize_projected(p), jnp.argsort(q.fields[ROW_DEPTH])), proj)
-san, order = san
+san = timeit("sanitize+sort", lambda p: sort_by_depth(sanitize_projected(p)), proj)
 binned = timeit(
-    "bin", lambda p, o: bin_splats(p, W, H, cfg, with_tiles=False, order=o), san, order
+    "bin", lambda p: bin_splats(p, W, H, cfg, with_tiles=False), san
 )
 
 
@@ -86,39 +85,38 @@ timeit("FULL fwd", full_fwd, splats)
 from gsplat_tpu.ops.pallas.composite import composite_splats_pallas
 
 binned_g = jax.jit(
-    lambda p, o: bin_splats(p, W, H, cfg, with_tiles=False, with_grad_map=True, order=o)
-)(san, order)
+    lambda p: bin_splats(p, W, H, cfg, with_tiles=False, with_grad_map=True)
+)(san)
 
 
-def csp(f_, b, o):
+def csp(f_, b):
     packed = composite_splats_pallas(
         f_, b.pair_splat, b.tile_base, b.tile_phi, b.tile_span, b.grad_base,
         b.dest_of_exp, b.exp_offsets, b.exp_counts,
-        jnp.zeros((1,), jnp.int32), o, nty, ntx, cfg, False
+        jnp.zeros((1,), jnp.int32), None, nty, ntx, cfg, False
     )
     return unpack_image(packed, H, W)
 
 
-def csp_bwd(p, b, o):
+def csp_bwd(p, b):
     def loss(f_):
-        return jnp.sum(csp(f_, b, o)[..., :3])
+        return jnp.sum(csp(f_, b)[..., :3])
 
     return jax.grad(loss)(p.fields[:10])
 
 
-timeit("bin (grad map)", lambda p, o: bin_splats(p, W, H, cfg, with_tiles=False, with_grad_map=True, order=o), san, order)
-timeit("gather+composite+segsum fwd+bwd", csp_bwd, san, binned_g, order)
+timeit("bin (grad map)", lambda p: bin_splats(p, W, H, cfg, with_tiles=False, with_grad_map=True), san)
+timeit("gather+composite+segsum fwd+bwd", csp_bwd, san, binned_g)
 
 
 def sort_bwd(p):
     def loss(f_):
-        q = sanitize_projected(ProjectedSplats(fields=f_))
-        return jnp.sum(q.fields) + jnp.sum(jnp.argsort(q.fields[ROW_DEPTH]))
+        return jnp.sum(sort_by_depth(sanitize_projected(ProjectedSplats(fields=f_))).fields)
 
     return jax.grad(loss)(p.fields)
 
 
-timeit("sanitize+argsort fwd+bwd", sort_bwd, proj)
+timeit("sanitize+sort fwd+bwd", sort_bwd, proj)
 
 
 def proj_bwd(s):
@@ -141,6 +139,6 @@ def full_fb(s):
 timeit("FULL fwd+bwd", full_fb, splats)
 
 # pair statistics
-b = jax.jit(lambda p, o: bin_splats(p, W, H, cfg, with_tiles=False, order=o))(san, order)
+b = jax.jit(lambda p: bin_splats(p, W, H, cfg, with_tiles=False))(san)
 tc = jax.device_get(b.tile_count)
 print(f"pairs: total={int(tc.sum())} max/tile={int(tc.max())} budget={b.pair_budget} dropped={int(jax.device_get(b.dropped_pairs))}")

