@@ -30,6 +30,11 @@ def main():
                     help="bench a real 3DGS point_cloud.ply instead of the synthetic scene")
     ap.add_argument("--skip-parity", action="store_true",
                     help="skip the on-chip pallas-vs-tiles correctness gate")
+    ap.add_argument("--tune", action="store_true",
+                    help="fit the static pair budget to the scene "
+                         "(tune_pair_budget): cuts pair-array memory ~1/headroom; "
+                         "measured roughly time-neutral-to-slower on-chip, so "
+                         "opt-in for the time benchmark")
     args = ap.parse_args()
 
     import gsplat_tpu as gt
@@ -51,6 +56,11 @@ def main():
     backend = args.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() != "cpu" else "tiles"
+
+    if args.tune:
+        # Fit the static pair budget to the scene's measured pair count (one
+        # cheap counting pass; overflow still warns + culls farthest).
+        cfg = gt.tune_pair_budget(splats, cam, cfg)
 
     def fwd(s, c):
         return gt.render(s, c, cfg, backend=backend)

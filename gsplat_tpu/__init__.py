@@ -18,7 +18,7 @@ from .ops.projection import ProjectedSplats, project_splats
 from .ops.rasterize_ref import render_reference
 from .ops.rasterize_tiles import depth_order, render_tiles
 from .ops.wireframe import render_wireframe
-from .render import render, render_pallas
+from .render import measure_pairs, render, render_pallas, tune_pair_budget
 from .scene import SceneRegistry
 from .io.ply import load_ply, save_ply
 from .io.attributes import splats_from_attributes
@@ -28,6 +28,8 @@ from .ops.queries import RayHit, intersect_ray_bbox, intersect_rays_bbox
 __all__ = [
     "render",
     "render_pallas",
+    "measure_pairs",
+    "tune_pair_budget",
     "render_tiles",
     "render_reference",
     "render_wireframe",

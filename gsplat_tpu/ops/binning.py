@@ -169,6 +169,57 @@ def grad_pad_size(budget: int, num_tiles: int, chunk: int) -> int:
     return -(-(budget + num_tiles * 2 * (chunk - 1)) // chunk) * chunk + chunk
 
 
+def _tile_extents(f, width: int, height: int, config: RenderConfig, row_offset):
+    """Per-splat tile-coverage counts + bbox operands (shared by binning and
+    the budget-tuning count pass so both cull/extent rules stay identical)."""
+    nty, ntx = tile_grid(width, height, config.tile_h, config.tile_w)
+    y_base = (row_offset * config.tile_h).astype(jnp.float32)
+
+    x_lo = f[ROW_CX] - f[ROW_HX]
+    x_hi = f[ROW_CX] + f[ROW_HX]
+    y_lo = f[ROW_CY] - f[ROW_HY]
+    y_hi = f[ROW_CY] + f[ROW_HY]
+
+    # Cull: behind camera, fully offscreen, or opacity below the discard
+    # threshold (the fragment shader would discard every covered pixel).
+    cull = (
+        (f[ROW_VALID] < 0.5)
+        | (x_hi < 0.0)
+        | (y_hi < y_base)
+        | (x_lo >= width)
+        | (y_lo >= y_base + height)
+        | (f[ROW_OP] < ALPHA_CUTOFF)
+    )
+
+    tw = float(config.tile_w)
+    th = float(config.tile_h)
+    tx0 = jnp.clip(jnp.floor(x_lo / tw).astype(jnp.int32), 0, ntx - 1)
+    tx1 = jnp.clip(jnp.floor(x_hi / tw).astype(jnp.int32), 0, ntx - 1)
+    ty0 = jnp.clip(jnp.floor(y_lo / th).astype(jnp.int32) - row_offset, 0, nty - 1)
+    ty1 = jnp.clip(jnp.floor(y_hi / th).astype(jnp.int32) - row_offset, 0, nty - 1)
+    nx = jnp.where(cull, 0, tx1 - tx0 + 1)
+    ny = jnp.where(cull, 0, ty1 - ty0 + 1)
+    counts = nx * ny
+    return counts, nx, tx0, ty0
+
+
+def count_pairs(
+    sorted_projected: ProjectedSplats,
+    width: int,
+    height: int,
+    config: RenderConfig,
+    row_offset=0,
+) -> jax.Array:
+    """Exact (tile, splat) pair count for one frame — the cheap counting pass
+    behind ``tune_pair_budget`` (projection + bbox math + one reduction; no
+    expansion, sort, or pair arrays)."""
+    row_offset = jnp.asarray(row_offset, dtype=jnp.int32)
+    counts, _, _, _ = _tile_extents(
+        sorted_projected.fields, width, height, config, row_offset
+    )
+    return jnp.sum(counts)
+
+
 def bin_splats(
     sorted_projected: ProjectedSplats,
     width: int,
@@ -214,33 +265,7 @@ def bin_splats(
     if budget is None:
         budget = config.pair_budget(n)
     row_offset = jnp.asarray(row_offset, dtype=jnp.int32)
-    y_base = (row_offset * config.tile_h).astype(jnp.float32)
-
-    x_lo = f[ROW_CX] - f[ROW_HX]
-    x_hi = f[ROW_CX] + f[ROW_HX]
-    y_lo = f[ROW_CY] - f[ROW_HY]
-    y_hi = f[ROW_CY] + f[ROW_HY]
-
-    # Cull: behind camera, fully offscreen, or opacity below the discard
-    # threshold (the fragment shader would discard every covered pixel).
-    cull = (
-        (f[ROW_VALID] < 0.5)
-        | (x_hi < 0.0)
-        | (y_hi < y_base)
-        | (x_lo >= width)
-        | (y_lo >= y_base + height)
-        | (f[ROW_OP] < ALPHA_CUTOFF)
-    )
-
-    tw = float(config.tile_w)
-    th = float(config.tile_h)
-    tx0 = jnp.clip(jnp.floor(x_lo / tw).astype(jnp.int32), 0, ntx - 1)
-    tx1 = jnp.clip(jnp.floor(x_hi / tw).astype(jnp.int32), 0, ntx - 1)
-    ty0 = jnp.clip(jnp.floor(y_lo / th).astype(jnp.int32) - row_offset, 0, nty - 1)
-    ty1 = jnp.clip(jnp.floor(y_hi / th).astype(jnp.int32) - row_offset, 0, nty - 1)
-    nx = jnp.where(cull, 0, tx1 - tx0 + 1)
-    ny = jnp.where(cull, 0, ty1 - ty0 + 1)
-    counts = nx * ny
+    counts, nx, tx0, ty0 = _tile_extents(f, width, height, config, row_offset)
 
     # Depth (rank) order: with ``order`` the fields stay in storage order and
     # only the per-splat expansion operands are reordered through it — 1-row

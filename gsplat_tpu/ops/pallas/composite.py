@@ -81,12 +81,21 @@ def _pixel_coords(ty, tx):
     return px, py
 
 
-def _splat_alpha(buf, slot, i, px, py, max_alpha, soft_cutoff, valid):
+def _splat_alpha(
+    buf, slot, i, px, py, max_alpha, soft_cutoff, valid,
+    wireframe=False, line_px=1.0,
+):
     """One splat's (8, 128) alpha from scalar SMEM fields.
 
     ``valid`` (scalar bool): False for lanes outside this tile's segment
     (they hold a neighbouring tile's pairs) — masked by zeroing the opacity
     scalar, which costs nothing on the vector units.
+
+    ``wireframe``: replace the Gaussian falloff with an opaque band test on
+    the quad edge (the reference's line-quad debug pass,
+    ``GSplatShaderSource.h:22-110``): α = 1 within ``line_px`` of the ±2
+    extent (band half-width converted to quad units per axis via |A|, |B|),
+    0 elsewhere — front-to-back compositing then gives "nearest splat wins".
     """
     cx = buf[slot, 0, i]
     cy = buf[slot, 1, i]
@@ -99,6 +108,16 @@ def _splat_alpha(buf, slot, i, px, py, max_alpha, soft_cutoff, valid):
     dy = py - cy
     qx = dx * ax + dy * ay
     qy = dx * bx + dy * by
+    if wireframe:
+        wq1 = line_px * jnp.sqrt(ax * ax + ay * ay)
+        wq2 = line_px * jnp.sqrt(bx * bx + by * by)
+        absqx = jnp.abs(qx)
+        absqy = jnp.abs(qy)
+        m = jnp.maximum(absqx, absqy)
+        wq = jnp.where(absqx > absqy, wq1, wq2)
+        on_edge = (jnp.abs(m - QUAD_EXTENT) <= wq) & (op > 0.0)
+        alpha = on_edge.astype(jnp.float32)
+        return alpha, qx, qy, dx, dy, op
     qx2 = qx * qx
     qy2 = qy * qy
     power = qx2 + qy2
@@ -127,6 +146,8 @@ def _fwd_kernel(
     soft_cutoff: bool,
     t_eps: float,
     checkpoint: bool,
+    wireframe: bool,
+    line_px: float,
 ):
     if checkpoint:
         tchk_ref, buf, sem = rest  # (1, 1, max_chunks, 8, 128) VMEM block
@@ -191,7 +212,8 @@ def _fwd_kernel(
                 valid = jnp.logical_and(pos >= phi, pos < span)
                 alphas.append(
                     _splat_alpha(
-                        buf, slot, i0 + u, px, py, max_alpha, soft_cutoff, valid
+                        buf, slot, i0 + u, px, py, max_alpha, soft_cutoff,
+                        valid, wireframe, line_px,
                     )[0]
                 )
             prefixes = []
@@ -346,9 +368,6 @@ def _bwd_kernel(
     dc_b = dout_ref[0, 0, 2]
     d_a = dout_ref[0, 0, 3]
 
-    ones = jnp.ones((PACK_SUB, PACK_LANES), jnp.float32)
-    zeros = jnp.zeros((PACK_SUB, PACK_LANES), jnp.float32)
-
     # ---- reverse chunk walk: exact within-chunk T/α replay; gradients ----
     @pl.when(nused > 0)
     def _():
@@ -356,7 +375,7 @@ def _bwd_kernel(
         dma_vin(jax.lax.rem(nused - 1, 2), nused - 1).start()
 
     def body(state):
-        k, sr, sg, sb, rr = state  # k counts processed chunks (from the back)
+        k, u_acc = state  # k counts processed chunks (from the back)
         ci = nused - 1 - k
         slot = jax.lax.rem(ci, 2)
         pos0 = ci * chunk
@@ -397,13 +416,18 @@ def _bwd_kernel(
         jax.lax.fori_loop(0, chunk // UNROLL, fill_body, tchk_ref[0, 0, ci])
 
         def splat_body(jk, s):
-            for u in range(UNROLL):
-                i = chunk - 1 - (jk * UNROLL + u)
+            for uu in range(UNROLL):
+                i = chunk - 1 - (jk * UNROLL + uu)
                 s = _grad_one(s, i)
             return s
 
-        def _grad_one(s, i):
-            sr, sg, sb, rr = s
+        def _grad_one(u_acc, i):
+            # Fused suffix accumulator: u = dc·s̃ − d_a·R collapses the four
+            # textbook suffix carries (s̃_rgb, R) into one vector — then
+            #   d_alpha_i = t_i·(K_i − u),   K_i = r·dc_r + g·dc_g + b·dc_b
+            #   u' = u + α·(K_i − u)
+            # (both exact rewrites of the division-free identities in the
+            # docstring; (K_i − u) is shared) — 9 VPU ops/pair instead of 22.
             cx = buf[slot, 0, i]
             cy = buf[slot, 1, i]
             r = buf[slot, 6, i]
@@ -412,9 +436,9 @@ def _bwd_kernel(
             alpha = asplat[i]
             t_i = tsplat[i]
             w_i = alpha * t_i
-            d_alpha = t_i * (
-                dc_r * (r - sr) + dc_g * (g - sg) + dc_b * (b - sb) + d_a * rr
-            )
+            k_i = r * dc_r + g * dc_g + b * dc_b
+            ku = k_i - u_acc
+            d_alpha = t_i * ku
             # Gradient gate: the max_alpha clamp and (hard mode) the
             # inside/cutoff mask kill dα→(power, opacity) flow.  In hard mode
             # masked pixels already have alpha == 0.
@@ -446,17 +470,9 @@ def _bwd_kernel(
             put(6, dc_r * w_i)
             put(7, dc_g * w_i)
             put(8, dc_b * w_i)
-            om = 1.0 - alpha
-            return (
-                r * alpha + om * sr,
-                g * alpha + om * sg,
-                b * alpha + om * sb,
-                om * rr,
-            )
+            return u_acc + alpha * ku
 
-        sr, sg, sb, rr = jax.lax.fori_loop(
-            0, chunk // UNROLL, splat_body, (sr, sg, sb, rr)
-        )
+        u_acc = jax.lax.fori_loop(0, chunk // UNROLL, splat_body, u_acc)
 
         # ---- chunk-end: lane-reduce all rows, then combine ----
         # VPU tree-sum, NOT an MXU ones-matvec: the MXU truncates f32
@@ -506,14 +522,12 @@ def _bwd_kernel(
         # transpose back to payload layout (C_PAD, chunk) — native, exact.
         dbuf[oslot] = jnp.transpose(dtt[...])
         dma_out(oslot, ci).start()
-        return k + 1, sr, sg, sb, rr
+        return k + 1, u_acc
 
     def cond(state):
         return state[0] < nused
 
-    k, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), zeros, zeros, zeros, ones)
-    )
+    k, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), -d_a))
     # Drain outstanding gradient writes.
     @pl.when(k >= 1)
     def _():
@@ -572,6 +586,8 @@ def _build_kernels(
                 soft_cutoff=cfg.soft_cutoff,
                 t_eps=cfg.transmittance_eps,
                 checkpoint=checkpoint,
+                wireframe=cfg.wireframe,
+                line_px=cfg.line_px,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=4,  # tile_base, tile_phi, tile_span, row_offset
@@ -736,6 +752,11 @@ def _csp_fwd(
     dest_of_exp, exp_offsets, exp_counts, row_offset, order,
     nty, ntx, config, interpret,
 ):
+    if config.wireframe:
+        raise ValueError(
+            "wireframe mode is forward-only (the band test has no useful "
+            "gradient); render through render_wireframe / composite_pairs_pallas"
+        )
     from ..binning import grad_pad_size  # local import: avoid cycle
 
     payload = _pad_rows(fields[:, pair_splat])
@@ -775,16 +796,14 @@ def _csp_bwd(nty, ntx, config, interpret, res, g):
     # serialize TPU gathers) and mask the gathered garbage to exact zeros
     # (``where`` keeps any NaN in unwritten tail columns out of the sum).
     #
-    # Split 8+2: TPU gather cost is per query × ceil(padded_rows/8), so one
-    # 10-row gather pays for 16 sublanes per query while two ≤8-row gathers
-    # pay 8+8 *in separate cheaper ops* — measured 55 → 37 ms at 3.1M pairs.
+    # ONE 10-row gather: measured 26 ms vs 36 ms for an 8+2 split at 3.1M
+    # queries (scripts/profile_tail.py) — the gather unit fetches all ≤16
+    # sublanes of a query in one go, so splitting pays the per-query cost
+    # twice.  (This reverses an earlier measurement made against a different
+    # payload layout.)
     keep = dest_of_exp >= 0
     q = jnp.where(keep, dest_of_exp, ~dest_of_exp)
-    d_exp = jnp.where(
-        keep[None, :],
-        jnp.concatenate([d_grad_space[:8][:, q], d_grad_space[8:C_USED][:, q]]),
-        0.0,
-    )
+    d_exp = jnp.where(keep[None, :], d_grad_space[:C_USED][:, q], 0.0)
     # segsum returns (16, N); rows ≥ C_USED carry the cid reduction / zeros.
     d_fields = segsum_by_splat(
         d_exp, exp_offsets, exp_counts, interpret, order=order

@@ -201,11 +201,10 @@ def segsum_by_splat(
         nonzero = (packed_o & 1) == 1
         cid_splat = (packed_o >> 1) - 1
 
-    # Gather only the 10 gradient rows, split 8+2 (gather cost is per query
-    # × ceil(padded_rows/8) — two ≤8-row gathers beat one 10-row gather);
-    # rows ≥ 10 of the kernel output carry the cid reduction / zero fill.
+    # Gather the 10 gradient rows in ONE op (the gather unit fetches all ≤16
+    # sublanes of a query together — splitting pays the per-query cost twice;
+    # scripts/profile_tail.py); rows ≥ 10 of the kernel output carry the cid
+    # reduction / zero fill.
     cid_q = jnp.maximum(cid_splat, 0)
-    d = jnp.concatenate(
-        [jnp.take(d_comp[:8], cid_q, axis=1), jnp.take(d_comp[8:10], cid_q, axis=1)]
-    )
+    d = jnp.take(d_comp[:10], cid_q, axis=1)
     return jnp.where(nonzero[None, :], d, 0.0)

@@ -7,10 +7,17 @@ in the splat's base color (``gsplat_plugin/src/GR_GSplat.C:376-421``,
 quad-basis coordinates — pixels within ~``line_px`` of the quad edge take the
 splat's color; nearest splat wins (opaque lines, like GL depth-tested lines).
 
-Debug tooling: clarity over speed (same O(N·H·W) structure as the oracle).
+Backends:
+  * ``"pallas"`` — the fused compositing kernel in wireframe mode (an opaque
+    band test replaces the Gaussian falloff; front-to-back + early stop =
+    nearest-splat-wins) riding the same binning/sort as the beauty pass —
+    interactive at reference scale.
+  * ``"reference"`` — O(N·H·W) per-pixel scan (the debug oracle).
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +25,7 @@ import jax.numpy as jnp
 from ..models.camera import Camera
 from ..models.splats import GaussianSplats
 from ..ops.covariance import QUAD_EXTENT
-from ..ops.projection import project_splats
+from ..ops.projection import ROW_HX, ROW_HY, ROW_OP, ROW_VALID, project_splats
 from ..ops.rasterize_ref import sanitize_projected
 from ..ops.rasterize_tiles import sort_by_depth
 from ..utils.config import RenderConfig
@@ -30,8 +37,18 @@ def render_wireframe(
     config: RenderConfig = RenderConfig(),
     line_px: float = 1.0,
     background=None,
+    backend: str = "auto",
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Render quad outlines.  Returns (H, W, 4); alpha 1 where a line covers."""
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() != "cpu" else "reference"
+    if backend == "pallas":
+        return _wireframe_pallas(
+            splats, camera, config, line_px, background, interpret
+        )
+    if backend != "reference":
+        raise ValueError(f"unknown wireframe backend {backend!r}")
     p = sort_by_depth(sanitize_projected(project_splats(splats, camera, 0)))
     rows = p.fields.T  # (N, 16)
 
@@ -65,3 +82,50 @@ def render_wireframe(
         bg = jnp.asarray(background, jnp.float32)
         color = jnp.where(covered[..., None], color, bg)
     return jnp.concatenate([color, alpha[..., None]], axis=-1)
+
+
+def _wireframe_pallas(
+    splats, camera, config, line_px, background, interpret
+) -> jnp.ndarray:
+    """Wireframe on the production tile pipeline (project → sort → bin →
+    fused kernel in band-test mode).  Same nearest-wins image as the oracle:
+    an opaque band hit saturates the pixel, so later (farther) splats
+    contribute exactly zero."""
+    from .binning import bin_splats, tile_grid
+    from .pallas.composite import _pad_rows, composite_pairs_pallas, unpack_image
+
+    if config.tile_h != 32 or config.tile_w != 32:
+        raise ValueError("pallas backend requires tile_h == tile_w == 32")
+    cfg = dataclasses.replace(config, wireframe=True, line_px=float(line_px))
+    p = sanitize_projected(project_splats(splats, camera, 0))
+    f = p.fields
+    # The reference draws wireframes regardless of opacity and the band
+    # extends ``line_px`` past the ±2 quad: neutralise the opacity cull and
+    # grow the binning bbox by the line width.
+    f = f.at[ROW_OP].set(f[ROW_VALID])
+    f = f.at[ROW_HX].add(line_px)
+    f = f.at[ROW_HY].add(line_px)
+    p = sort_by_depth(type(p)(fields=f))
+    binned = bin_splats(
+        p, camera.width, camera.height, cfg, with_tiles=False, with_grad_map=False
+    )
+    nty, ntx = tile_grid(camera.width, camera.height, cfg.tile_h, cfg.tile_w)
+    packed = composite_pairs_pallas(
+        _pad_rows(p.fields[:10][:, binned.pair_splat]),
+        binned.tile_base,
+        binned.tile_phi,
+        binned.tile_span,
+        jnp.zeros((1,), jnp.int32),
+        nty,
+        ntx,
+        cfg,
+        interpret,
+    )
+    img = unpack_image(packed, camera.height, camera.width)
+    if background is not None:
+        bg = jnp.asarray(background, jnp.float32)
+        covered = img[..., 3:4] > 0.5
+        img = jnp.concatenate(
+            [jnp.where(covered, img[..., :3], bg), img[..., 3:4]], axis=-1
+        )
+    return img

@@ -15,12 +15,15 @@ Backends:
 
 from __future__ import annotations
 
+import dataclasses
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from .models.camera import Camera
 from .models.splats import GaussianSplats
-from .ops.binning import bin_splats, tile_grid, warn_if_dropped
+from .ops.binning import bin_splats, count_pairs, tile_grid, warn_if_dropped
 from .ops.pallas.composite import composite_splats_pallas, unpack_image
 from .ops.permute import permute_cols
 from .ops.projection import ProjectedSplats, project_splats
@@ -49,10 +52,12 @@ def render_pallas(
     p = sanitize_projected(projected)
     # Fields ARE permuted into depth order here (one 16-row gather), and the
     # binning then works purely in rank space.  The storage-order variant
-    # (``bin_splats(..., order=...)`` + storage-index pair_splat) was built
-    # and measured SLOWER on-chip: TPU gather cost is per *query* ×
-    # ceil(rows/8), so its three extra 1-row reorder gathers (~44 ms at
-    # 1M/1080p) dwarf the one 16-row permute (~13 ms) they replace.
+    # (``bin_splats(..., order=...)`` + storage-index pair_splat, still used
+    # by the sharded renderer) avoids the permute but was re-measured SLOWER
+    # on-chip (275 vs 256 ms full fwd+bwd at 1M/1080p, scripts/profile_ab.py):
+    # TPU gather throughput is locality-bound, and depth-rank payload queries
+    # are nearly sorted within each tile segment while storage-order queries
+    # are random.
     if order is None:
         p = sort_by_depth(p)
     else:
@@ -85,6 +90,65 @@ def render_pallas(
         interpret,
     )
     return unpack_image(packed, camera.height, camera.width)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _count_pairs_jit(splats, camera, width, height, config):
+    p = sanitize_projected(
+        project_splats(
+            splats, camera, config.sh_order,
+            tight_footprint=not config.soft_cutoff,
+        )
+    )
+    return count_pairs(p, width, height, config)
+
+
+def measure_pairs(
+    splats: GaussianSplats, camera: Camera, config: RenderConfig = RenderConfig()
+) -> int:
+    """Exact (tile, splat) pair count this frame would bin (host int)."""
+    return int(
+        _count_pairs_jit(splats, camera, camera.width, camera.height, config)
+    )
+
+
+def tune_pair_budget(
+    splats: GaussianSplats,
+    cameras,
+    config: RenderConfig = RenderConfig(),
+    headroom: float = 1.2,
+    bucket: int = 1 << 17,
+) -> RenderConfig:
+    """Measure the scene's real (tile, splat) pair count and return a config
+    whose static pair budget fits it, instead of the worst-case
+    ``pairs_per_splat·N`` default.
+
+    Every pair-proportional array (pair ids, pair payload, gradient address
+    space, expansion map — ~100 B/pair fwd+bwd) is sized by the *static*
+    budget, so fitting it cuts peak HBM proportionally — the difference
+    between fitting and OOM at the 2^23 envelope.  Frame TIME, measured
+    on-chip, is roughly neutral (slightly slower at 1M/1080p: the hot gathers
+    are locality- not volume-bound — scripts/profile_ab.py), so this is a
+    memory/capacity knob, not a speed knob.  One cheap counting pass per
+    camera (projection + bbox arithmetic + a scalar reduce; no pair arrays),
+    take the max, apply ``headroom``, round up to ``bucket`` so nearby
+    cameras / training steps reuse the same jit cache entry.  The overflow
+    contract is unchanged: if a later frame exceeds the tuned budget, the
+    farthest pairs drop and the cull warning fires
+    (``src/GSplatRenderer.C:366-376`` analogue) — raise ``headroom`` then.
+
+    ``cameras``: one Camera or an iterable (e.g. the training set's extremes).
+    """
+    if isinstance(cameras, Camera):
+        cameras = [cameras]
+    worst = 0
+    for cam in cameras:
+        worst = max(worst, measure_pairs(splats, cam, config))
+    budget = -(-int(round(worst * headroom)) // bucket) * bucket
+    full = max(int(round(config.pairs_per_splat * splats.count)), 8)
+    return dataclasses.replace(
+        config, pair_budget_override=max(min(budget, full), bucket)
+    )
 
 
 def render(

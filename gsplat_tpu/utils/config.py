@@ -78,6 +78,18 @@ class RenderConfig:
     # exact reference parity.
     soft_cutoff: bool = False
 
+    # Wireframe debug mode (the reference's line-quad pass,
+    # gsplat_plugin/src/GR_GSplat.C:376-421 + GSplatShaderSource.h:22-110):
+    # the compositing kernel replaces the Gaussian falloff with an opaque
+    # band test on the quad edge (|max(|qx|,|qy|)| ≈ QUAD_EXTENT), so
+    # "nearest splat wins" falls out of front-to-back compositing + early
+    # stop.  Set via render_wireframe(backend="pallas"); forward-only
+    # (gradients are undefined for the band test).
+    wireframe: bool = False
+
+    # Wireframe line half-width in pixels.
+    line_px: float = 1.0
+
     # Per-strip pair-budget headroom for the sharded renderer: a device
     # rendering 1/d of the tile rows gets budget
     # ceil(pairs_per_splat·N·strip_budget_factor/d) (clamped to the full
@@ -87,9 +99,19 @@ class RenderConfig:
     # cull warning, as always).
     strip_budget_factor: float = 2.0
 
+    # Exact pair budget override (0 = derive from pairs_per_splat·N).  Set
+    # by ``tune_pair_budget`` after measuring the scene's real (tile, splat)
+    # pair count: every binning/gather/sort/VJP pass scales with the static
+    # budget, so trimming the default's headroom to a measured ~15% cuts the
+    # whole glue layer proportionally.  Bucketed so camera motion doesn't
+    # re-jit every frame.
+    pair_budget_override: int = 0
+
     # Hard cap on splats whose (tile,splat) pairs we materialise. Derived
     # pair budget = round(pairs_per_splat * N) at trace time.
     def pair_budget(self, n: int) -> int:
+        if self.pair_budget_override > 0:
+            return max(self.pair_budget_override, 8)
         return max(int(round(self.pairs_per_splat * n)), 8)
 
     def strip_pair_budget(self, n: int, n_strips: int) -> int:

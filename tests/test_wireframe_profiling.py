@@ -41,6 +41,44 @@ class TestWireframe:
         assert (img[..., 0] == 1.0).any()
 
 
+class TestWireframePallas:
+    def _scene(self, n=60, seed=3):
+        rng = np.random.default_rng(seed)
+        pos = rng.uniform(-0.8, 0.8, (n, 3)).astype(np.float32)
+        q = rng.normal(size=(n, 4)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        scale = rng.uniform(0.02, 0.12, (n, 3)).astype(np.float32)
+        opacity = rng.uniform(0.1, 1.0, n).astype(np.float32)
+        color = rng.uniform(0.0, 1.0, (n, 3)).astype(np.float32)
+        return make_splats(pos, q, scale, opacity, color)
+
+    def test_matches_reference_backend(self):
+        """The fused-kernel wireframe (band-test compositing) reproduces the
+        O(N·H·W) oracle bit-for-bit: an opaque band hit saturates the pixel,
+        so nearest-wins falls out of front-to-back order."""
+        splats = self._scene()
+        cam = make_camera([0, 0, 2.5], [0, 0, 0], 96, 64)
+        ref = np.asarray(render_wireframe(splats, cam, backend="reference"))
+        fast = np.asarray(
+            render_wireframe(splats, cam, backend="pallas", interpret=True)
+        )
+        np.testing.assert_array_equal(ref, fast)
+
+    def test_background_and_line_width(self):
+        splats = self._scene(20)
+        cam = make_camera([0, 0, 2.5], [0, 0, 0], 64, 64)
+        bg = [0.2, 0.3, 0.4]
+        ref = np.asarray(
+            render_wireframe(splats, cam, line_px=2.0, background=bg,
+                             backend="reference")
+        )
+        fast = np.asarray(
+            render_wireframe(splats, cam, line_px=2.0, background=bg,
+                             backend="pallas", interpret=True)
+        )
+        np.testing.assert_array_equal(ref, fast)
+
+
 class TestProfiling:
     def test_phase_timer(self):
         t = PhaseTimer()
