@@ -267,15 +267,12 @@ def _bwd_kernel(
     tchk_ref,      # (1, 1, max_chunks, 8, 128) VMEM block — fwd T checkpoints
     dpay_ref,      # (C_PAD, G_pad) HBM out — gradient address space
     buf,           # (2, C_PAD, chunk) SMEM in — scalar per-splat field reads
-    vbuf,          # (2, C_PAD, chunk) VMEM in — same bytes, for MXU transpose
     dbuf,          # (2, C_PAD, chunk) VMEM out staging
-    dtt,           # (chunk, C_PAD) VMEM — per-splat grads, splats on sublanes
-    gmat,          # (N_SUMS*chunk, PACK_LANES) VMEM — per-splat lane-rows
+    gmat,          # (N_SUMS, chunk, PACK_LANES) VMEM — per-pair moment rows
     zbuf,          # (C_PAD, chunk) VMEM zeros for skipped chunks
     tsplat,        # (chunk, 8, 128) VMEM — per-splat transmittance, one chunk
     asplat,        # (chunk, 8, 128) VMEM — per-splat alpha, one chunk
     sem,
-    vsem,
     dsem,
     zsem,
     *,
@@ -306,14 +303,16 @@ def _bwd_kernel(
     lanes (φ lead / tail) have α ≡ 0, which zeroes every gradient row they
     emit.
 
-    Reduction strategy (the hot part): each of the 10 per-splat gradient
-    scalars is a full (8,128)-pixel reduction.  Doing 10 tree-reductions per
-    splat costs ~100 VPU ops; instead each splat emits 10 *sublane-reduced*
-    lane-rows (3 adds each) into the ``gmat`` accumulator, and ONE mat-vec
-    against a ones vector at chunk end performs all 10·chunk lane reductions
-    on the MXU.  The per-splat scalar post-combines (quad-basis weighting of
-    the raw sums) run vectorized over the chunk with splats on sublanes,
-    using an MXU-transposed copy of the payload block.
+    Reduction strategy (the hot part): the kernel emits the 9 RAW MOMENT
+    sums per pair (rows 0..8 of the gradient space: Σdp2, Σdp2·dx, Σdp2·dy,
+    Σdp2·dx², Σdp2·dxdy, Σdp2·dy², Σdc·w ×3) — NOT the 10 final gradients.
+    Each pair contributes 9 *sublane-reduced* lane-rows into ``gmat`` (3
+    adds each); one lane reduction per chunk finishes them.  The quad-basis
+    combine (10 gradients = per-splat linear combinations of the 9 moments)
+    is linear with per-splat coefficients, so it commutes with the per-splat
+    pair summation and runs ONCE PER SPLAT after the segment reduce
+    (``_csp_bwd``) — which also removes a second payload DMA and two Mosaic
+    transposes this kernel used to pay per chunk.
     """
     ty = pl.program_id(0)
     tx = pl.program_id(1)
@@ -332,13 +331,6 @@ def _bwd_kernel(
             payload_ref.at[:, pl.ds(pl.multiple_of(base + ci * chunk, chunk), chunk)],
             buf.at[slot],
             sem.at[slot],
-        )
-
-    def dma_vin(slot, ci):
-        return pltpu.make_async_copy(
-            payload_ref.at[:, pl.ds(pl.multiple_of(base + ci * chunk, chunk), chunk)],
-            vbuf.at[slot],
-            vsem.at[slot],
         )
 
     def dma_out(slot, ci):
@@ -372,7 +364,6 @@ def _bwd_kernel(
     @pl.when(nused > 0)
     def _():
         dma_in(jax.lax.rem(nused - 1, 2), nused - 1).start()
-        dma_vin(jax.lax.rem(nused - 1, 2), nused - 1).start()
 
     def body(state):
         k, u_acc = state  # k counts processed chunks (from the back)
@@ -383,7 +374,6 @@ def _bwd_kernel(
         @pl.when(ci - 1 >= 0)
         def _():
             dma_in(1 - slot, ci - 1).start()
-            dma_vin(1 - slot, ci - 1).start()
 
         dma_in(slot, ci).wait()
 
@@ -454,12 +444,10 @@ def _bwd_kernel(
 
             # 9 sublane-reduced raw-moment lane-rows; the lane reduction for
             # the whole chunk happens at chunk end, and the quad-basis
-            # combines (which only need per-splat ax/ay/bx/by) happen there
-            # too — no per-pair qx/qy.
+            # combines move past the segment reduce (per splat, not per
+            # pair — ``_csp_bwd``), so no per-pair qx/qy anywhere.
             def put(kk, v):
-                gmat[pl.ds(kk * chunk + i, 1), :] = jnp.sum(
-                    v, axis=0, keepdims=True
-                )
+                gmat[kk, pl.ds(i, 1), :] = jnp.sum(v, axis=0, keepdims=True)
 
             put(0, dp2)
             put(1, t1)
@@ -474,53 +462,15 @@ def _bwd_kernel(
 
         u_acc = jax.lax.fori_loop(0, chunk // UNROLL, splat_body, u_acc)
 
-        # ---- chunk-end: lane-reduce all rows, then combine ----
+        # ---- chunk-end: one lane reduction finishes all 9·chunk moments ----
         # VPU tree-sum, NOT an MXU ones-matvec: the MXU truncates f32
         # operands to bf16 at DEFAULT precision, corrupting the gradient
         # sums on real silicon (caught on-chip by scripts/verify_tpu.py —
         # interpreter-mode tests compute exact f32 and can't see it).
-        sums = jnp.sum(gmat[...], axis=1, keepdims=True)
-
-        def seg(kk):  # (chunk, 1) raw sum per splat
-            return sums[kk * chunk : (kk + 1) * chunk]
-
-        s_dp2 = seg(0)
-        u_x, u_y = seg(1), seg(2)
-        t_xx, t_xy, t_yy = seg(3), seg(4), seg(5)
-
-        # payload block transposed to (chunk, C_PAD): splats on sublanes.
-        # Native Mosaic transpose — bit-exact (an MXU eye-matmul at DEFAULT
-        # precision truncates the payload values to bf16 on silicon).
-        dma_vin(slot, ci).wait()
-        buf_t = jnp.transpose(vbuf[slot])  # (chunk, C_PAD)
-        axv = buf_t[:, 2:3]
-        ayv = buf_t[:, 3:4]
-        bxv = buf_t[:, 4:5]
-        byv = buf_t[:, 5:6]
-        opv = buf_t[:, 9:10]
-
-        # Quad-basis combines of the raw moments (qx = ax·dx + ay·dy etc.):
-        #   Σd_qx      = ax·U_x + ay·U_y,       Σd_qy      = bx·U_x + by·U_y
-        #   Σd_qx·dx   = ax·T_xx + ay·T_xy, ... (T = dp2-weighted moments)
-        s_dqx = axv * u_x + ayv * u_y
-        s_dqy = bxv * u_x + byv * u_y
-        dtt[:, 0:1] = -(axv * s_dqx + bxv * s_dqy)
-        dtt[:, 1:2] = -(ayv * s_dqx + byv * s_dqy)
-        dtt[:, 2:3] = axv * t_xx + ayv * t_xy
-        dtt[:, 3:4] = axv * t_xy + ayv * t_yy
-        dtt[:, 4:5] = bxv * t_xx + byv * t_xy
-        dtt[:, 5:6] = bxv * t_xy + byv * t_yy
-        dtt[:, 6:7] = seg(6)
-        dtt[:, 7:8] = seg(7)
-        dtt[:, 8:9] = seg(8)
-        # dop = Σ ga·α / op, and Σga·α = −Σdp2/2.  exp(−power) = α/op where
-        # unclamped; binning culls opacity < 1/255 so the divide is safe for
-        # real pairs, and masked/sentinel pairs (op=0) have α ≡ 0.
-        dtt[:, 9:10] = (-0.5) * s_dp2 * (1.0 / jnp.maximum(opv, 1e-20))
-        dtt[:, C_USED:C_PAD] = jnp.zeros((chunk, C_PAD - C_USED), jnp.float32)
-
-        # transpose back to payload layout (C_PAD, chunk) — native, exact.
-        dbuf[oslot] = jnp.transpose(dtt[...])
+        dbuf[oslot, 0:N_SUMS, :] = jnp.sum(gmat[...], axis=2)
+        dbuf[oslot, N_SUMS:C_PAD, :] = jnp.zeros(
+            (C_PAD - N_SUMS, chunk), jnp.float32
+        )
         dma_out(oslot, ci).start()
         return k + 1, u_acc
 
@@ -639,14 +589,11 @@ def _build_kernels(
             out_specs=pl.BlockSpec(memory_space=pltpu.HBM),  # d_payload (grad space)
             scratch_shapes=[
                 pltpu.SMEM((2, C_PAD, chunk), jnp.float32),   # buf
-                pltpu.VMEM((2, C_PAD, chunk), jnp.float32),   # vbuf
                 pltpu.VMEM((2, C_PAD, chunk), jnp.float32),   # dbuf
-                pltpu.VMEM((chunk, C_PAD), jnp.float32),      # dtt
-                pltpu.VMEM((N_SUMS * chunk, PACK_LANES), jnp.float32),  # gmat
+                pltpu.VMEM((N_SUMS, chunk, PACK_LANES), jnp.float32),  # gmat
                 pltpu.VMEM((C_PAD, chunk), jnp.float32),      # zbuf
                 pltpu.VMEM((chunk, PACK_SUB, PACK_LANES), jnp.float32),  # tsplat
                 pltpu.VMEM((chunk, PACK_SUB, PACK_LANES), jnp.float32),  # asplat
-                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA(()),
@@ -768,7 +715,7 @@ def _csp_fwd(
         tile_base, tile_phi, tile_span, row_offset, payload
     )
     res = (
-        payload, tile_base, tile_phi, tile_span, used, grad_base,
+        fields, payload, tile_base, tile_phi, tile_span, used, grad_base,
         dest_of_exp, exp_offsets, exp_counts, row_offset, out, tchk,
         pair_splat, order,
     )
@@ -777,7 +724,7 @@ def _csp_fwd(
 
 def _csp_bwd(nty, ntx, config, interpret, res, g):
     (
-        payload, tile_base, tile_phi, tile_span, used, grad_base,
+        fields, payload, tile_base, tile_phi, tile_span, used, grad_base,
         dest_of_exp, exp_offsets, exp_counts, row_offset, out, tchk,
         pair_splat, order,
     ) = res
@@ -796,18 +743,50 @@ def _csp_bwd(nty, ntx, config, interpret, res, g):
     # serialize TPU gathers) and mask the gathered garbage to exact zeros
     # (``where`` keeps any NaN in unwritten tail columns out of the sum).
     #
-    # ONE 10-row gather: measured 26 ms vs 36 ms for an 8+2 split at 3.1M
-    # queries (scripts/profile_tail.py) — the gather unit fetches all ≤16
-    # sublanes of a query in one go, so splitting pays the per-query cost
-    # twice.  (This reverses an earlier measurement made against a different
-    # payload layout.)
+    # ONE 9-row gather: measured 26 ms (10-row) vs 36 ms for an 8+2 split at
+    # 3.1M queries (scripts/profile_tail.py) — the gather unit fetches all
+    # ≤16 sublanes of a query in one go, so splitting pays the per-query
+    # cost twice.  (This reverses an earlier measurement made against a
+    # different payload layout.)
     keep = dest_of_exp >= 0
     q = jnp.where(keep, dest_of_exp, ~dest_of_exp)
-    d_exp = jnp.where(keep[None, :], d_grad_space[:C_USED][:, q], 0.0)
-    # segsum returns (16, N); rows ≥ C_USED carry the cid reduction / zeros.
-    d_fields = segsum_by_splat(
+    d_exp = jnp.where(keep[None, :], d_grad_space[:N_SUMS][:, q], 0.0)
+    # Per-splat raw-moment sums (rows ≥ N_SUMS of the segsum output carry
+    # the cid reduction / zeros).
+    m = segsum_by_splat(
         d_exp, exp_offsets, exp_counts, interpret, order=order
-    )[:C_USED]
+    )[:N_SUMS]
+    # Quad-basis combine, once per splat (linear in the moments with
+    # per-splat coefficients, so it commutes with the pair summation the
+    # segment reduce just performed).  ``fields`` is in the same order as
+    # the segsum output (depth-rank order, or storage order under ``order``).
+    s_dp2, u_x, u_y = m[0], m[1], m[2]
+    t_xx, t_xy, t_yy = m[3], m[4], m[5]
+    ax, ay = fields[2], fields[3]
+    bx, by = fields[4], fields[5]
+    op = fields[9]
+    #   Σd_qx    = ax·U_x + ay·U_y,       Σd_qy    = bx·U_x + by·U_y
+    #   Σd_qx·dx = ax·T_xx + ay·T_xy, ... (T = dp2-weighted moments)
+    s_dqx = ax * u_x + ay * u_y
+    s_dqy = bx * u_x + by * u_y
+    # dop = Σ ga·α / op, and Σga·α = −Σdp2/2.  exp(−power) = α/op where
+    # unclamped; binning culls opacity < 1/255 so the divide is safe for
+    # real pairs, and masked/sentinel pairs (op=0) have α ≡ 0.
+    d_fields = jnp.stack(
+        [
+            -(ax * s_dqx + bx * s_dqy),
+            -(ay * s_dqx + by * s_dqy),
+            ax * t_xx + ay * t_xy,
+            ax * t_xy + ay * t_yy,
+            bx * t_xx + by * t_xy,
+            bx * t_xy + by * t_yy,
+            m[6],
+            m[7],
+            m[8],
+            (-0.5) * s_dp2 * (1.0 / jnp.maximum(op, 1e-20)),
+        ],
+        axis=0,
+    )
     return (
         d_fields,
         _int0(pair_splat),

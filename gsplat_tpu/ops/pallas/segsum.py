@@ -36,9 +36,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-C_SS = 16    # kernel payload rows: gradients (0..9) + cid carrier (row 10) +
-             # zero fill (Mosaic DMA slices must be 8-aligned on sublanes).
-ROW_CID = 10  # payload row carrying the per-pair compact splat id (f32)
+C_SS = 16    # kernel payload rows: moment sums (0..8) + cid carrier (row 9)
+             # + zero fill (Mosaic DMA slices must be 8-aligned on sublanes).
+ROW_CID = 9  # payload row carrying the per-pair compact splat id (f32)
 BLK = 512    # compact splats per grid program (large: the per-grid-step
              # overhead dominates at small blocks — 7.8k programs at BLK=128
              # cost ~8 ms of pure sequencing at 1M splats)
@@ -133,13 +133,14 @@ def _build_segsum(nblocks: int, p_q: int, interpret: bool):
 
 
 def segsum_by_splat(
-    d_exp: jnp.ndarray,      # (10, budget) f32 — pair grads, expansion order
+    d_exp: jnp.ndarray,      # (ROW_CID, budget) f32 — pair rows, expansion order
     exp_offsets: jnp.ndarray,  # (N,) int32 — rank r's pairs at [off, off+cnt)
     exp_counts: jnp.ndarray,   # (N,) int32 — indexed by depth rank
     interpret: bool = False,
     order: jnp.ndarray = None,  # (N,) int32 — storage index of rank r
 ) -> jnp.ndarray:
-    """Sum pair-gradient columns per splat.  Returns (10, N) f32.
+    """Sum pair columns per splat.  Returns (C_SS, N) f32 (rows ≥ ROW_CID
+    carry the cid reduction / zero fill).
 
     Expansion order groups pairs by *depth rank*; with ``order`` (the depth
     permutation) the result is returned in **storage order** — one packed
@@ -201,10 +202,10 @@ def segsum_by_splat(
         nonzero = (packed_o & 1) == 1
         cid_splat = (packed_o >> 1) - 1
 
-    # Gather the 10 gradient rows in ONE op (the gather unit fetches all ≤16
+    # Gather the payload rows in ONE op (the gather unit fetches all ≤16
     # sublanes of a query together — splitting pays the per-query cost twice;
-    # scripts/profile_tail.py); rows ≥ 10 of the kernel output carry the cid
-    # reduction / zero fill.
+    # scripts/profile_tail.py); rows ≥ ROW_CID of the kernel output carry the
+    # cid reduction / zero fill.
     cid_q = jnp.maximum(cid_splat, 0)
-    d = jnp.take(d_comp[:10], cid_q, axis=1)
+    d = jnp.take(d_comp[:ROW_CID], cid_q, axis=1)
     return jnp.where(nonzero[None, :], d, 0.0)

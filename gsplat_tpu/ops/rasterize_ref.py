@@ -56,6 +56,19 @@ def sanitize_projected(p: ProjectedSplats) -> ProjectedSplats:
     return ProjectedSplats(fields=fields)
 
 
+def quantize_payload(p: ProjectedSplats, config) -> ProjectedSplats:
+    """Apply the configured payload precision policy (the reference's fp16
+    storage analogue, ``include/GR_GSplat.h:120-127``): round the 10
+    compositor payload rows to ``config.payload_dtype``, keeping the
+    geometry rows (depth key, validity, footprint) fp32.  Applied uniformly
+    in every backend so cross-backend parity is preserved under quantization."""
+    if config.payload_dtype == "float32":
+        return p
+    dt = jnp.bfloat16
+    q = p.fields[:10].astype(dt).astype(jnp.float32)
+    return ProjectedSplats(fields=jnp.concatenate([q, p.fields[10:]], axis=0))
+
+
 def splat_alpha_image(
     cx, cy, ax, ay, bx, by, opacity, px, py, max_alpha, soft_cutoff=False
 ):
@@ -121,4 +134,5 @@ def render_reference(
 ) -> jnp.ndarray:
     """End-to-end oracle render: project → sort → composite.  (H, W, 4)."""
     projected = project_splats(splats, camera, config.sh_order, only_sh=config.only_sh)
+    projected = quantize_payload(projected, config)
     return composite_reference(projected, camera.width, camera.height, config)

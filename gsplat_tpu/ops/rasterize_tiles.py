@@ -24,7 +24,7 @@ from .binning import BinnedPairs, bin_splats, tile_grid, warn_if_dropped
 from .covariance import ALPHA_CUTOFF, QUAD_EXTENT
 from .permute import permute_cols
 from .projection import N_FIELDS, ROW_DEPTH, ProjectedSplats, project_splats
-from .rasterize_ref import sanitize_projected
+from .rasterize_ref import quantize_payload, sanitize_projected
 
 
 def sort_by_depth(p: ProjectedSplats) -> ProjectedSplats:
@@ -162,7 +162,7 @@ def render_tiles(
         splats, camera, config.sh_order,
         tight_footprint=not config.soft_cutoff, only_sh=config.only_sh,
     )
-    p = sanitize_projected(projected)
+    p = quantize_payload(sanitize_projected(projected), config)
     if order is None:
         p = sort_by_depth(p)
     else:

@@ -37,7 +37,7 @@ from ..models.splats import GaussianSplats
 from ..ops.binning import bin_splats, tile_grid, warn_if_dropped
 from ..ops.pallas.composite import composite_splats_pallas, unpack_image
 from ..ops.projection import ProjectedSplats, project_splats
-from ..ops.rasterize_ref import sanitize_projected
+from ..ops.rasterize_ref import quantize_payload, sanitize_projected
 from ..ops.rasterize_tiles import (
     build_tile_lists,
     composite_tile_lists,
@@ -170,9 +170,12 @@ def render_sharded(
             splats_local, camera, config.sh_order,
             tight_footprint=not config.soft_cutoff, only_sh=config.only_sh,
         )
-        p = sanitize_projected(projected)
+        p = quantize_payload(sanitize_projected(projected), config)
         # Compact payload exchange (one collective): every device needs every
         # projected splat's (16,)-field column, never the raw parameters.
+        # (Quantized BEFORE the gather: rounding per-shard is bit-identical
+        # to rounding the gathered array, so sharded output still matches
+        # single-device under payload_dtype=bfloat16.)
         full = jax.lax.all_gather(p.fields, axis, axis=1, tiled=True)
         p_sorted = sort_by_depth(ProjectedSplats(fields=full))
         di = jax.lax.axis_index(axis)

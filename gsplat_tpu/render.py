@@ -27,7 +27,7 @@ from .ops.binning import bin_splats, count_pairs, tile_grid, warn_if_dropped
 from .ops.pallas.composite import composite_splats_pallas, unpack_image
 from .ops.permute import permute_cols
 from .ops.projection import ProjectedSplats, project_splats
-from .ops.rasterize_ref import render_reference, sanitize_projected
+from .ops.rasterize_ref import quantize_payload, render_reference, sanitize_projected
 from .ops.rasterize_tiles import render_tiles, sort_by_depth
 from .utils.config import RenderConfig
 
@@ -49,7 +49,7 @@ def render_pallas(
         splats, camera, config.sh_order,
         tight_footprint=not config.soft_cutoff, only_sh=config.only_sh,
     )
-    p = sanitize_projected(projected)
+    p = quantize_payload(sanitize_projected(projected), config)
     # Fields ARE permuted into depth order here (one 16-row gather), and the
     # binning then works purely in rank space.  The storage-order variant
     # (``bin_splats(..., order=...)`` + storage-index pair_splat, still used

@@ -78,6 +78,20 @@ class RenderConfig:
     # exact reference parity.
     soft_cutoff: bool = False
 
+    # Rasterization payload precision — the TPU analogue of the reference's
+    # storage policy (pos fp32, color/scale/orient/SH fp16:
+    # gsplat_plugin/include/GR_GSplat.h:120-127, src/GSplatRenderer.C:91-101).
+    # "bfloat16" rounds the 10 compositor payload rows (center, quad basis,
+    # rgb, opacity) of the projected field matrix to bf16 before
+    # rasterization, in EVERY backend — so pallas↔tiles↔oracle parity tests
+    # remain bit-exact among themselves, and quality deltas vs fp32 are
+    # tolerance-tested.  Geometry rows (depth key, validity, footprint) stay
+    # fp32.  On TPU this is a precision/storage knob, not a speed knob: the
+    # hot gathers are per-query bound (bf16 gathers measured no faster —
+    # scripts/profile_tail.py), so pair with GaussianSplats.astype(bfloat16)
+    # when the goal is halving splat-storage HBM.
+    payload_dtype: str = "float32"
+
     # Wireframe debug mode (the reference's line-quad pass,
     # gsplat_plugin/src/GR_GSplat.C:376-421 + GSplatShaderSource.h:22-110):
     # the compositing kernel replaces the Gaussian falloff with an opaque
@@ -125,3 +139,8 @@ class RenderConfig:
             raise ValueError(f"sh_order must be in [0,3], got {self.sh_order}")
         if self.tile_capacity % self.chunk != 0:
             raise ValueError("tile_capacity must be a multiple of chunk")
+        if self.payload_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"payload_dtype must be 'float32' or 'bfloat16', got "
+                f"{self.payload_dtype!r}"
+            )

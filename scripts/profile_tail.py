@@ -120,7 +120,7 @@ def dexp_gather(dgs, dest):
 d_exp = timeit("d_exp gather 8+2 (current)", dexp_gather, d_grad_space, binned.dest_of_exp)
 timeit(
     "segsum",
-    lambda de: segsum_by_splat(de, binned.exp_offsets, binned.exp_counts, False)[:C_USED],
+    lambda de: segsum_by_splat(de[:9], binned.exp_offsets, binned.exp_counts, False)[:9],
     d_exp,
 )
 print("done", flush=True)
