@@ -171,12 +171,23 @@ def render_sharded(
             tight_footprint=not config.soft_cutoff, only_sh=config.only_sh,
         )
         p = quantize_payload(sanitize_projected(projected), config)
-        # Compact payload exchange (one collective): every device needs every
-        # projected splat's (16,)-field column, never the raw parameters.
-        # (Quantized BEFORE the gather: rounding per-shard is bit-identical
-        # to rounding the gathered array, so sharded output still matches
-        # single-device under payload_dtype=bfloat16.)
-        full = jax.lax.all_gather(p.fields, axis, axis=1, tiled=True)
+        # Compact payload exchange: every device needs every projected
+        # splat's field column, never the raw parameters.  (Quantized BEFORE
+        # the gather: rounding per-shard is bit-identical to rounding the
+        # gathered array, so sharded output still matches single-device
+        # under payload_dtype=bfloat16.)
+        if config.payload_dtype == "bfloat16":
+            # The 10 payload rows are already bf16-representable — ship them
+            # over ICI as real bf16 (half the collective bytes and half the
+            # replicated-buffer HBM; upcast is exact).  Geometry rows (depth
+            # key, validity, footprint) stay fp32.
+            pay = jax.lax.all_gather(
+                p.fields[:10].astype(jnp.bfloat16), axis, axis=1, tiled=True
+            ).astype(jnp.float32)
+            geo = jax.lax.all_gather(p.fields[10:], axis, axis=1, tiled=True)
+            full = jnp.concatenate([pay, geo], axis=0)
+        else:
+            full = jax.lax.all_gather(p.fields, axis, axis=1, tiled=True)
         p_sorted = sort_by_depth(ProjectedSplats(fields=full))
         di = jax.lax.axis_index(axis)
         row_offset = di * (strip_h // config.tile_h)

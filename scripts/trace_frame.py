@@ -8,6 +8,9 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 splats = gt.random_splats(jax.random.PRNGKey(0), N, extent=1.2, scale_range=(0.002, 0.01), sh_scale=0.1)
 cam = gt.make_camera(eye=[0.0, 0.4, 3.0], target=[0, 0, 0], width=1920, height=1080)
 cfg = gt.RenderConfig()
+if "--tune" in sys.argv:
+    cfg = gt.tune_pair_budget(splats, cam, cfg)
+    print("tuned budget:", cfg.pair_budget_override)
 
 def loss(s):
     return jnp.sum(gt.render(s, cam, cfg, backend="pallas")[..., :3])
