@@ -39,6 +39,7 @@ Design notes (TPU-first, no GL analogue):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -66,7 +67,11 @@ N_SUMS = 9         # per-pair raw moment rows batched through gmat: the quad
                    # (Σdp2, Σdp2·dx, Σdp2·dy, Σdp2·dx², Σdp2·dxdy, Σdp2·dy²,
                    # Σdc·w ×3) — one less reduction and no per-pair qx/qy
                    # recompute in the gradient walk
-UNROLL = 4         # forward compositing loop unroll (must divide chunk)
+UNROLL = int(os.environ.get("GSPLAT_UNROLL", "4"))
+                   # compositing loop unroll (must divide chunk); env knob
+                   # for on-chip sweeps (scripts/profile_chunk.py) — per-pair
+                   # alpha math is independent, transmittance chains exactly,
+                   # so any unroll is bit-identical
 
 
 def _pixel_coords(ty, tx):
