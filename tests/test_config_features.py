@@ -148,6 +148,47 @@ class TestPayloadDtype:
             gt.RenderConfig(payload_dtype="float16")
 
 
+class TestBudgetTuning:
+    def test_measure_pairs_matches_binning(self):
+        """The counting pass and the real binning agree exactly."""
+        from gsplat_tpu.ops.binning import bin_splats
+        from gsplat_tpu.ops.projection import project_splats
+        from gsplat_tpu.ops.rasterize_ref import sanitize_projected
+        from gsplat_tpu.ops.rasterize_tiles import sort_by_depth
+
+        splats, cam = _scene(n=300, seed=6)
+        cfg = gt.RenderConfig()
+        n = gt.measure_pairs(splats, cam, cfg)
+        p = sort_by_depth(
+            sanitize_projected(
+                project_splats(splats, cam, cfg.sh_order, tight_footprint=True)
+            )
+        )
+        b = bin_splats(p, cam.width, cam.height, cfg)
+        assert n == int(np.asarray(b.tile_count).sum()) + int(
+            np.asarray(b.dropped_pairs)
+        )
+
+    def test_tuned_budget_render_identical(self):
+        """A tuned budget that covers the scene renders bit-identically and
+        sets a smaller pair array than the pairs_per_splat default."""
+        splats, cam = _scene(n=4096, seed=7)
+        cfg = gt.RenderConfig(pairs_per_splat=64.0)  # wasteful default
+        tuned = gt.tune_pair_budget(splats, cam, cfg, bucket=1024)
+        assert 0 < tuned.pair_budget_override < cfg.pair_budget(splats.count)
+        a = np.asarray(gt.render(splats, cam, cfg, backend="tiles"))
+        b = np.asarray(gt.render(splats, cam, tuned, backend="tiles"))
+        np.testing.assert_array_equal(a, b)
+
+    def test_multiple_cameras_take_worst(self):
+        splats, cam = _scene(n=512, seed=8)
+        far = gt.make_camera(eye=[0.1, 0.2, 8.0], target=[0, 0, 0],
+                             width=64, height=64)
+        both = gt.tune_pair_budget(splats, [cam, far], bucket=256)
+        one = gt.tune_pair_budget(splats, far, bucket=256)
+        assert both.pair_budget_override >= one.pair_budget_override
+
+
 def test_dropped_pairs_warns(caplog):
     """Overflowing the pair budget fires the cull warning (once), and the
     key re-arms when a later render has no overflow."""
