@@ -30,11 +30,13 @@ def main():
                     help="bench a real 3DGS point_cloud.ply instead of the synthetic scene")
     ap.add_argument("--skip-parity", action="store_true",
                     help="skip the on-chip pallas-vs-tiles correctness gate")
-    ap.add_argument("--tune", action="store_true",
-                    help="fit the static pair budget to the scene "
-                         "(tune_pair_budget): cuts pair-array memory ~1/headroom; "
-                         "measured roughly time-neutral-to-slower on-chip, so "
-                         "opt-in for the time benchmark")
+    ap.add_argument("--no-tune", action="store_true",
+                    help="skip fitting the static pair budget to the scene "
+                         "(tune_pair_budget).  Tuning cuts pair-array memory "
+                         "~1/headroom AND frame time (~6%% at 1M/1080p: every "
+                         "gather/sort/kernel pass scales with the static "
+                         "budget), so it is on by default — one cheap "
+                         "counting pass, amortized across all frames")
     args = ap.parse_args()
 
     import gsplat_tpu as gt
@@ -57,7 +59,7 @@ def main():
     if backend == "auto":
         backend = "pallas" if jax.default_backend() != "cpu" else "tiles"
 
-    if args.tune:
+    if not args.no_tune:
         # Fit the static pair budget to the scene's measured pair count (one
         # cheap counting pass; overflow still warns + culls farthest).
         cfg = gt.tune_pair_budget(splats, cam, cfg)

@@ -104,6 +104,9 @@ class BinnedPairs:
     dest_of_exp: jax.Array = None   # (budget,) int32; None unless with_grad_map
     exp_offsets: jax.Array = None   # (N,) int32; None unless with_grad_map
     exp_counts: jax.Array = None    # (N,) int32; None unless with_grad_map
+    exp_rank: jax.Array = None      # (budget,) int32 — depth rank of expansion
+                                    # pair j (−1 past the frame's real pair
+                                    # count); None unless with_grad_map
 
     @property
     def pair_budget(self) -> int:
@@ -414,7 +417,12 @@ def bin_splats(
     )[:-1]
 
     dest_of_exp = None
+    exp_rank = None
     if with_grad_map:
+        # Depth rank of each expansion pair (−1 beyond the real pair count):
+        # the segment-reduce VJP blocks directly on ranks, so the rank rides
+        # to its MXU one-hot as a payload row (``ops/pallas/segsum.py``).
+        exp_rank = jnp.where(pair_valid, s_safe, -1)
         g_pad = grad_pad_size(budget, num_tiles, chunk)
 
         # Per-sorted-pair segment descriptors WITHOUT per-pair gathers (a
@@ -460,6 +468,7 @@ def bin_splats(
         grad_base=grad_base,
         dropped_pairs=dropped.astype(jnp.int32),
         dest_of_exp=dest_of_exp,
+        exp_rank=exp_rank,
         exp_offsets=offsets if with_grad_map else None,
         exp_counts=counts_d if with_grad_map else None,
     )

@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...utils.config import RenderConfig
 from ..covariance import ALPHA_CUTOFF, QUAD_EXTENT
-from .segsum import segsum_by_splat
+from .segsum import pad_pairs as segsum_pad_pairs, segsum_by_splat
 
 TILE = 32          # logical pixel tile is TILE×TILE
 PACK_SUB = 8       # sublanes
@@ -64,9 +64,17 @@ C_USED = 10        # payload rows the kernels read / gradients exist for
 N_SUMS = 9         # per-pair raw moment rows batched through gmat: the quad
                    # basis is per-splat, so the 10 gradient scalars are
                    # per-splat linear combinations of 9 pixel sums
-                   # (Σdp2, Σdp2·dx, Σdp2·dy, Σdp2·dx², Σdp2·dxdy, Σdp2·dy²,
-                   # Σdc·w ×3) — one less reduction and no per-pair qx/qy
-                   # recompute in the gradient walk
+                   # (Σdp2·dx, Σdp2·dy, Σdp2·dx², Σdp2·dxdy, Σdp2·dy²,
+                   # Σdc·w ×3, Σdp2) — one less reduction and no per-pair
+                   # qx/qy recompute in the gradient walk.  Row ORDER is
+                   # load-bearing: the TPU gather unit fetches sublanes in
+                   # groups of 8, so a 9-row gather costs exactly a 16-row
+                   # one (~2.2×).  The VJP therefore reads the gradient
+                   # space with an 8-row gather (rows 0..7) plus a 2-row
+                   # gather (rows 8..9) — Σdp2 (opacity's only consumer)
+                   # lives at row 8 so the split lands on the 8-sublane
+                   # boundary (measured 36 ms vs 42 ms for one 9-row gather
+                   # at 3M queries, scripts/profile_gather5.py).
 UNROLL = int(os.environ.get("GSPLAT_UNROLL", "4"))
                    # compositing loop unroll (must divide chunk); env knob
                    # for on-chip sweeps (scripts/profile_chunk.py) — per-pair
@@ -450,19 +458,21 @@ def _bwd_kernel(
             # 9 sublane-reduced raw-moment lane-rows; the lane reduction for
             # the whole chunk happens at chunk end, and the quad-basis
             # combines move past the segment reduce (per splat, not per
-            # pair — ``_csp_bwd``), so no per-pair qx/qy anywhere.
+            # pair — ``_csp_bwd``), so no per-pair qx/qy anywhere.  Σdp2
+            # goes LAST (row 8): the VJP's gathers split at the 8-sublane
+            # boundary (see N_SUMS above).
             def put(kk, v):
                 gmat[kk, pl.ds(i, 1), :] = jnp.sum(v, axis=0, keepdims=True)
 
-            put(0, dp2)
-            put(1, t1)
-            put(2, t2)
-            put(3, t1 * dx)
-            put(4, t1 * dy)
-            put(5, t2 * dy)
-            put(6, dc_r * w_i)
-            put(7, dc_g * w_i)
-            put(8, dc_b * w_i)
+            put(0, t1)
+            put(1, t2)
+            put(2, t1 * dx)
+            put(3, t1 * dy)
+            put(4, t2 * dy)
+            put(5, dc_r * w_i)
+            put(6, dc_g * w_i)
+            put(7, dc_b * w_i)
+            put(8, dp2)
             return u_acc + alpha * ku
 
         u_acc = jax.lax.fori_loop(0, chunk // UNROLL, splat_body, u_acc)
@@ -656,7 +666,7 @@ def _pad_rows(x):
     return jnp.pad(x, ((0, C_PAD - C_USED), (0, 0)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
 def composite_splats_pallas(
     fields: jnp.ndarray,        # (10, N) f32 — payload rows of the field matrix
     pair_splat: jnp.ndarray,    # (P_pad,) int32 — tile-sorted pair → column
@@ -667,6 +677,8 @@ def composite_splats_pallas(
     dest_of_exp: jnp.ndarray,   # (budget,) int32 — exp pair → gradient slot
     exp_offsets: jnp.ndarray,   # (N,) int32 — indexed by depth rank
     exp_counts: jnp.ndarray,    # (N,) int32 — indexed by depth rank
+    exp_rank: jnp.ndarray,      # (budget,) f32 — depth rank of exp pair j
+                                # (−1 past the frame's real pair count)
     row_offset: jnp.ndarray,    # (1,) int32
     order: jnp.ndarray = None,  # (N,) int32 depth permutation, or None if
                                 # ``fields`` is already depth-sorted
@@ -680,13 +692,15 @@ def composite_splats_pallas(
     Forward: one 16-row gather builds the (C_PAD, P_pad) pair payload from
     the projected field matrix, then the fused kernel composites it.  The
     VJP reads the backward kernel's gradient address space through
-    ``dest_of_exp`` and segment-reduces per-splat with the MXU one-hot
-    kernel (``ops/pallas/segsum.py``) — ~10× faster than XLA's scatter-add
-    transpose.  Gradients flow to ``fields`` only.
+    ``dest_of_exp`` (an 8-row + 2-row gather split at the sublane-group
+    boundary — see ``N_SUMS``) and segment-reduces per-splat with the MXU
+    one-hot kernel (``ops/pallas/segsum.py``) — ~10× faster than XLA's
+    scatter-add transpose.  Gradients flow to ``fields`` only.
 
     ``order``: when given, ``fields`` is in storage order, ``pair_splat``
     holds storage indices, and the VJP returns ``d_fields`` in storage order
-    (exp_offsets/exp_counts stay rank-indexed — see ``ops/binning.py``).
+    (exp_offsets/exp_counts/exp_rank stay rank-indexed — see
+    ``ops/binning.py``).
 
     When not differentiated, XLA dead-code-eliminates the gradient-map
     arguments (and their binning cost) automatically.
@@ -701,7 +715,7 @@ def composite_splats_pallas(
 
 def _csp_fwd(
     fields, pair_splat, tile_base, tile_phi, tile_span, grad_base,
-    dest_of_exp, exp_offsets, exp_counts, row_offset, order,
+    dest_of_exp, exp_offsets, exp_counts, exp_rank, row_offset, order,
     nty, ntx, config, interpret,
 ):
     if config.wireframe:
@@ -721,7 +735,7 @@ def _csp_fwd(
     )
     res = (
         fields, payload, tile_base, tile_phi, tile_span, used, grad_base,
-        dest_of_exp, exp_offsets, exp_counts, row_offset, out, tchk,
+        dest_of_exp, exp_offsets, exp_counts, exp_rank, row_offset, out, tchk,
         pair_splat, order,
     )
     return out, res
@@ -730,7 +744,7 @@ def _csp_fwd(
 def _csp_bwd(nty, ntx, config, interpret, res, g):
     (
         fields, payload, tile_base, tile_phi, tile_span, used, grad_base,
-        dest_of_exp, exp_offsets, exp_counts, row_offset, out, tchk,
+        dest_of_exp, exp_offsets, exp_counts, exp_rank, row_offset, out, tchk,
         pair_splat, order,
     ) = res
     from ..binning import grad_pad_size
@@ -748,25 +762,38 @@ def _csp_bwd(nty, ntx, config, interpret, res, g):
     # serialize TPU gathers) and mask the gathered garbage to exact zeros
     # (``where`` keeps any NaN in unwritten tail columns out of the sum).
     #
-    # ONE 9-row gather: measured 26 ms (10-row) vs 36 ms for an 8+2 split at
-    # 3.1M queries (scripts/profile_tail.py) — the gather unit fetches all
-    # ≤16 sublanes of a query in one go, so splitting pays the per-query
-    # cost twice.  (This reverses an earlier measurement made against a
-    # different payload layout.)
+    # The 9 moment rows move in an 8-row + 2-row gather split exactly at the
+    # sublane-group boundary: the gather unit fetches sublanes in groups of
+    # 8, so one 9-row gather fetches 16 (measured 42 ms vs 36 ms for this
+    # split at 3M queries — scripts/profile_gather5.py).  The queries (not
+    # the gathered matrices) are padded to the segsum chunk multiple, so the
+    # gathers emit kernel-ready arrays with no ~100 MB pad copy.
+    budget = dest_of_exp.shape[0]
+    p_q = segsum_pad_pairs(budget)
     keep = dest_of_exp >= 0
     q = jnp.where(keep, dest_of_exp, ~dest_of_exp)
-    d_exp = jnp.where(keep[None, :], d_grad_space[:N_SUMS][:, q], 0.0)
-    # Per-splat raw-moment sums (rows ≥ N_SUMS of the segsum output carry
-    # the cid reduction / zeros).
+    rank_f = exp_rank.astype(jnp.float32)
+    if p_q != budget:
+        pad = p_q - budget
+        q = jnp.concatenate([q, jnp.zeros((pad,), jnp.int32)])
+        keep = jnp.concatenate([keep, jnp.zeros((pad,), bool)])
+        rank_f = jnp.concatenate([rank_f, jnp.full((pad,), -1.0, jnp.float32)])
+    d8 = jnp.where(keep[None, :], d_grad_space[0:8][:, q], 0.0)
+    # Rows 8:10 = [Σdp2; zero] — the zero row is overwritten by the depth
+    # rank, which rides to the segsum kernel as a payload row (f32-exact).
+    daux = jnp.where(keep[None, :], d_grad_space[8:10][:, q], 0.0)
+    aux = jnp.concatenate([daux[0:1], rank_f[None, :]], axis=0)
+    # Per-splat raw-moment sums (9, N): rows 0..7 = d8 sums, row 8 = Σdp2.
     m = segsum_by_splat(
-        d_exp, exp_offsets, exp_counts, interpret, order=order
-    )[:N_SUMS]
+        d8, aux, exp_offsets, exp_counts, interpret, order=order
+    )
     # Quad-basis combine, once per splat (linear in the moments with
     # per-splat coefficients, so it commutes with the pair summation the
     # segment reduce just performed).  ``fields`` is in the same order as
     # the segsum output (depth-rank order, or storage order under ``order``).
-    s_dp2, u_x, u_y = m[0], m[1], m[2]
-    t_xx, t_xy, t_yy = m[3], m[4], m[5]
+    u_x, u_y = m[0], m[1]
+    t_xx, t_xy, t_yy = m[2], m[3], m[4]
+    s_dp2 = m[8]
     ax, ay = fields[2], fields[3]
     bx, by = fields[4], fields[5]
     op = fields[9]
@@ -785,9 +812,9 @@ def _csp_bwd(nty, ntx, config, interpret, res, g):
             ax * t_xy + ay * t_yy,
             bx * t_xx + by * t_xy,
             bx * t_xy + by * t_yy,
+            m[5],
             m[6],
             m[7],
-            m[8],
             (-0.5) * s_dp2 * (1.0 / jnp.maximum(op, 1e-20)),
         ],
         axis=0,
@@ -802,6 +829,7 @@ def _csp_bwd(nty, ntx, config, interpret, res, g):
         _int0(dest_of_exp),
         _int0(exp_offsets),
         _int0(exp_counts),
+        _int0(exp_rank),
         _int0(row_offset),
         None if order is None else _int0(order),
     )

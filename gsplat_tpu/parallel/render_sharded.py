@@ -132,6 +132,7 @@ def _render_strip(
             binned.dest_of_exp,
             binned.exp_offsets,
             binned.exp_counts,
+            binned.exp_rank,
             jnp.reshape(row_offset, (1,)).astype(jnp.int32),
             order,
             nty,

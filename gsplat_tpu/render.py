@@ -82,6 +82,7 @@ def render_pallas(
         binned.dest_of_exp,
         binned.exp_offsets,
         binned.exp_counts,
+        binned.exp_rank,
         jnp.zeros((1,), jnp.int32),
         None,
         nty,
@@ -126,15 +127,16 @@ def tune_pair_budget(
     Every pair-proportional array (pair ids, pair payload, gradient address
     space, expansion map — ~100 B/pair fwd+bwd) is sized by the *static*
     budget, so fitting it cuts peak HBM proportionally — the difference
-    between fitting and OOM at the 2^23 envelope.  Frame TIME, measured
-    on-chip, is roughly neutral (slightly slower at 1M/1080p: the hot gathers
-    are locality- not volume-bound — scripts/profile_ab.py), so this is a
-    memory/capacity knob, not a speed knob.  One cheap counting pass per
-    camera (projection + bbox arithmetic + a scalar reduce; no pair arrays),
-    take the max, apply ``headroom``, round up to ``bucket`` so nearby
-    cameras / training steps reuse the same jit cache entry.  The overflow
-    contract is unchanged: if a later frame exceeds the tuned budget, the
-    farthest pairs drop and the cull warning fires
+    between fitting and OOM at the 2^23 envelope — AND frame time (~6% at
+    1M/1080p, bench.py: the pair gathers/sorts are per-query bound, so fewer
+    budgeted queries = less time; re-measured after the round-3 gather
+    rework — an earlier "time-neutral" reading was an artifact of the old
+    9-row gather's pathological shape sensitivity).  One cheap counting pass
+    per camera (projection + bbox arithmetic + a scalar reduce; no pair
+    arrays), take the max, apply ``headroom``, round up to ``bucket`` so
+    nearby cameras / training steps reuse the same jit cache entry.  The
+    overflow contract is unchanged: if a later frame exceeds the tuned
+    budget, the farthest pairs drop and the cull warning fires
     (``src/GSplatRenderer.C:366-376`` analogue) — raise ``headroom`` then.
 
     ``cameras``: one Camera or an iterable (e.g. the training set's extremes).

@@ -116,9 +116,10 @@ class RenderConfig:
     # Exact pair budget override (0 = derive from pairs_per_splat·N).  Set
     # by ``tune_pair_budget`` after measuring the scene's real (tile, splat)
     # pair count: every binning/gather/sort/VJP pass scales with the static
-    # budget, so trimming the default's headroom to a measured ~15% cuts the
-    # whole glue layer proportionally.  Bucketed so camera motion doesn't
-    # re-jit every frame.
+    # budget, so trimming the default's headroom to a measured ~20% cuts the
+    # whole glue layer proportionally (~6% frame time at 1M/1080p, and the
+    # difference between fitting and OOM at the 2^23 envelope).  Bucketed so
+    # camera motion doesn't re-jit every frame.
     pair_budget_override: int = 0
 
     # Hard cap on splats whose (tile,splat) pairs we materialise. Derived
