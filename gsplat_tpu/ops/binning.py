@@ -46,7 +46,7 @@ import jax.numpy as jnp
 
 from ..utils.config import RenderConfig
 from ..utils.logging import format_count, get_logger
-from .covariance import ALPHA_CUTOFF
+from .covariance import ALPHA_CUTOFF, QUAD_EXTENT
 from .projection import (
     ROW_CX,
     ROW_CY,
@@ -307,14 +307,36 @@ def bin_splats(
     tile0 = ty0 * ntx + tx0
     bits_nx = ntx.bit_length()
     packed_ok = (num_tiles << bits_nx) < 2**31
+    # Exact-coverage pair cull (hard-cutoff beauty pass only): the AABB
+    # expansion overcounts tiles at a *rotated* quad's corners.  A
+    # separating-axis test of the tile's pixel-center rect against the
+    # ±QUAD_EXTENT parallelogram (the kernel's ``inside`` mask support)
+    # culls pairs that cannot contain a nonzero pixel — image- and
+    # gradient-exact, so pallas/tiles/oracle parity is unaffected, and both
+    # fused kernels walk proportionally shorter tile segments.  The pair's
+    # quad-basis operands ride the SAME expansion gather (bitcast f32 rows;
+    # widening this gather from 2 to 8 rows is nearly free — the gather
+    # unit's cost is per sublane-group of 8, scripts/profile_gather5.py).
+    # Skipped in wireframe mode (the band extends past the quad) and soft
+    # mode (no inside mask).
+    sat_cull = (not config.soft_cutoff) and (not config.wireframe)
+    if sat_cull:
+        fq = f[0:6]  # cx, cy, ax, ay, bx, by — same order as counts
+        if order is not None:
+            fq = fq[:, order]
+        qrows = list(jax.lax.bitcast_convert_type(fq, jnp.int32))
+    else:
+        qrows = []
     if packed_ok:
         tnx = (tile0 << bits_nx) | nx1
-        rows = [offsets, tnx[order] if order is not None else tnx]
+        rows = [offsets, tnx[order] if order is not None else tnx] + qrows
+        i_q = 2
     else:  # huge tile grids: fall back to the 3-row gather
         if order is not None:
-            rows = [offsets, nx1[order], tile0[order]]
+            rows = [offsets, nx1[order], tile0[order]] + qrows
         else:
-            rows = [offsets, nx1, tile0]
+            rows = [offsets, nx1, tile0] + qrows
+        i_q = 3
     exp_ops = jnp.stack(rows)
     g3 = exp_ops[:, s_safe]
     r = pair_idx - g3[0]
@@ -332,7 +354,39 @@ def bin_splats(
     dtx = r - dty * nx_s
     tile = tile0_s + dty * ntx + dtx
     pair_valid = pair_idx < total
-    tile = jnp.where(pair_valid, tile, num_tiles)
+    live = pair_valid
+    if sat_cull:
+        cx_s = jax.lax.bitcast_convert_type(g3[i_q + 0], jnp.float32)
+        cy_s = jax.lax.bitcast_convert_type(g3[i_q + 1], jnp.float32)
+        ax_s = jax.lax.bitcast_convert_type(g3[i_q + 2], jnp.float32)
+        ay_s = jax.lax.bitcast_convert_type(g3[i_q + 3], jnp.float32)
+        bx_s = jax.lax.bitcast_convert_type(g3[i_q + 4], jnp.float32)
+        by_s = jax.lax.bitcast_convert_type(g3[i_q + 5], jnp.float32)
+        # Tile's pixel-center rect: center (pcx, pcy), half-extent
+        # (tw−1)/2 px (pixel centers sit 0.5 px inside the tile edges).
+        ty0f = jnp.floor(
+            tile0_s.astype(jnp.float32) / jnp.float32(ntx)
+        )
+        tx_t = (tile0_s - ty0f.astype(jnp.int32) * ntx + dtx).astype(jnp.float32)
+        ty_t = ty0f + dty.astype(jnp.float32) + row_offset.astype(jnp.float32)
+        tw = float(config.tile_w)
+        th = float(config.tile_h)
+        pcx = tx_t * tw + (tw * 0.5) - cx_s
+        pcy = ty_t * th + (th * 0.5) - cy_s
+        hx_r = (tw - 1.0) * 0.5
+        hy_r = (th - 1.0) * 0.5
+        # Quad-axis intervals of the rect: |q·c| ± h·(|a|+|b|); separated on
+        # an axis ⇒ every pixel center fails the kernel's |q|∞ ≤ 2 mask.
+        # A 1e-3 quad-unit margin absorbs association-order rounding vs the
+        # kernel's own qx/qy evaluation.
+        qxc = ax_s * pcx + ay_s * pcy
+        qyc = bx_s * pcx + by_s * pcy
+        e1 = hx_r * jnp.abs(ax_s) + hy_r * jnp.abs(ay_s)
+        e2 = hx_r * jnp.abs(bx_s) + hy_r * jnp.abs(by_s)
+        thr = QUAD_EXTENT + 1e-3
+        separated = (jnp.abs(qxc) > thr + e1) | (jnp.abs(qyc) > thr + e2)
+        live = live & jnp.logical_not(separated)
+    tile = jnp.where(live, tile, num_tiles)
     # Invalid pairs point at *spread* real ranks instead of one shared
     # sentinel: a gather with millions of duplicate queries to a single
     # column serializes on TPU (~1.7× measured at 4M pairs with 37%
@@ -419,10 +473,6 @@ def bin_splats(
     dest_of_exp = None
     exp_rank = None
     if with_grad_map:
-        # Depth rank of each expansion pair (−1 beyond the real pair count):
-        # the segment-reduce VJP blocks directly on ranks, so the rank rides
-        # to its MXU one-hot as a payload row (``ops/pallas/segsum.py``).
-        exp_rank = jnp.where(pair_valid, s_safe, -1)
         g_pad = grad_pad_size(budget, num_tiles, chunk)
 
         # Per-sorted-pair segment descriptors WITHOUT per-pair gathers (a
@@ -447,12 +497,19 @@ def bin_splats(
         # sentinel column would serialize the VJP's 4M-query gather (same
         # duplicate-query hotspot as ``splat_of_pair`` above); the gathered
         # garbage is masked with ``where`` (NaN-safe) in the VJP.
-        #
         # ``eidx_sorted`` is a permutation of arange(budget); inverting it by
         # sorting it back with ``dest`` as payload is ~40% cheaper than the
         # equivalent scatter (TPU scatters process one index per cycle-ish).
+        # (A block-local (rank-block, slot)-sorted readback order was tried
+        # to give the VJP's gradient gathers ascending queries — measured
+        # zero gather gain on chip (the gather unit is per-query bound, not
+        # locality bound, for 1-group fetches) and +2 ms of extra sort key.)
         dest = jnp.where(keep, pair_idx + delta, ~eidx_sorted)
         _, dest_of_exp = jax.lax.sort((eidx_sorted, dest), num_keys=1)
+        # Depth rank of each expansion pair (−1 beyond the real pair count):
+        # the segment-reduce VJP blocks directly on ranks, so the rank rides
+        # to its MXU one-hot as a payload row (``ops/pallas/segsum.py``).
+        exp_rank = jnp.where(pair_valid, s_safe, -1)
 
     dropped = jnp.maximum((cum[-1] if n > 0 else 0) - budget, 0) + jnp.sum(
         raw_count - tile_count

@@ -666,6 +666,16 @@ def _pad_rows(x):
     return jnp.pad(x, ((0, C_PAD - C_USED), (0, 0)))
 
 
+def _gather_payload(fields, pair_splat):
+    """(10, N) fields → (C_PAD, P) pair payload: one 10-row gather + the
+    zero rows the kernel DMAs expect.  An 8+2-row sublane-group split was
+    measured 2× SLOWER here (35 vs 17.6 ms at 2.75M duplicate-heavy
+    queries) even though the same split wins for the distinct-query
+    gradient readback — gather cost on this chip is not a simple
+    rows×queries model, so every variant is A/B'd on silicon."""
+    return _pad_rows(fields[:, pair_splat])
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
 def composite_splats_pallas(
     fields: jnp.ndarray,        # (10, N) f32 — payload rows of the field matrix
@@ -677,7 +687,7 @@ def composite_splats_pallas(
     dest_of_exp: jnp.ndarray,   # (budget,) int32 — exp pair → gradient slot
     exp_offsets: jnp.ndarray,   # (N,) int32 — indexed by depth rank
     exp_counts: jnp.ndarray,    # (N,) int32 — indexed by depth rank
-    exp_rank: jnp.ndarray,      # (budget,) f32 — depth rank of exp pair j
+    exp_rank: jnp.ndarray,      # (budget,) int32 — depth rank of exp pair j
                                 # (−1 past the frame's real pair count)
     row_offset: jnp.ndarray,    # (1,) int32
     order: jnp.ndarray = None,  # (N,) int32 depth permutation, or None if
@@ -705,7 +715,7 @@ def composite_splats_pallas(
     When not differentiated, XLA dead-code-eliminates the gradient-map
     arguments (and their binning cost) automatically.
     """
-    payload = _pad_rows(fields[:, pair_splat])
+    payload = _gather_payload(fields, pair_splat)
     fwd_call, _, _ = _build_kernels(
         nty, ntx, payload.shape[1], 0, config, interpret
     )
@@ -725,7 +735,7 @@ def _csp_fwd(
         )
     from ..binning import grad_pad_size  # local import: avoid cycle
 
-    payload = _pad_rows(fields[:, pair_splat])
+    payload = _gather_payload(fields, pair_splat)
     g_pad = grad_pad_size(dest_of_exp.shape[0], nty * ntx, config.chunk)
     _, fwd_chk_call, _ = _build_kernels(
         nty, ntx, payload.shape[1], g_pad, config, interpret

@@ -31,9 +31,15 @@ def sort_by_depth(p: ProjectedSplats) -> ProjectedSplats:
     """Global ascending-distance sort (``src/GSplatRenderer.C:176-216``);
     invalid splats (depth=inf after sanitize) go last.  The permutation is
     applied via :func:`permute_cols` so the backward pass is an
-    inverse-permutation gather, not a scatter-add."""
+    inverse-permutation gather, not a scatter-add.  Only the 14 live rows
+    are permuted (rows 14-15 are structural zeros, ``ops/projection.py``) —
+    with the 8-row gather split that is one full + one 6-row sublane-group
+    pass instead of two full ones."""
     order = jnp.argsort(p.fields[ROW_DEPTH])
-    return ProjectedSplats(fields=permute_cols(p.fields, order, 10))
+    live = permute_cols(p.fields[:14], order, 10)
+    return ProjectedSplats(
+        fields=jnp.pad(live, ((0, N_FIELDS - 14), (0, 0)))
+    )
 
 
 def depth_order(splats: GaussianSplats, camera: Camera) -> jnp.ndarray:

@@ -92,7 +92,7 @@ def _wireframe_pallas(
     an opaque band hit saturates the pixel, so later (farther) splats
     contribute exactly zero."""
     from .binning import bin_splats, tile_grid
-    from .pallas.composite import _pad_rows, composite_pairs_pallas, unpack_image
+    from .pallas.composite import _gather_payload, composite_pairs_pallas, unpack_image
 
     if config.tile_h != 32 or config.tile_w != 32:
         raise ValueError("pallas backend requires tile_h == tile_w == 32")
@@ -111,7 +111,7 @@ def _wireframe_pallas(
     )
     nty, ntx = tile_grid(camera.width, camera.height, cfg.tile_h, cfg.tile_w)
     packed = composite_pairs_pallas(
-        _pad_rows(p.fields[:10][:, binned.pair_splat]),
+        _gather_payload(p.fields[:10], binned.pair_splat),
         binned.tile_base,
         binned.tile_phi,
         binned.tile_span,

