@@ -26,6 +26,7 @@ pure-XLA tile compositor; TPU uses the fused Pallas kernels).
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 
 import jax
@@ -34,10 +35,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.camera import Camera
 from ..models.splats import GaussianSplats
-from ..ops.binning import bin_splats, tile_grid, warn_if_dropped
+from ..ops.binning import (
+    _backend_supports_callbacks,
+    bin_splats,
+    tile_grid,
+    warn_if_dropped,
+)
 from ..ops.pallas.composite import composite_splats_pallas, unpack_image
-from ..ops.projection import ProjectedSplats, project_splats
-from ..ops.rasterize_ref import quantize_payload, sanitize_projected
+from ..ops.projection import (
+    ROW_CX,
+    ROW_CY,
+    ROW_HX,
+    ROW_HY,
+    ROW_VALID,
+    ProjectedSplats,
+    project_splats,
+)
+from ..ops.rasterize_ref import _BENIGN as _BENIGN_COL, quantize_payload, sanitize_projected
 from ..ops.rasterize_tiles import (
     build_tile_lists,
     composite_tile_lists,
@@ -90,6 +104,87 @@ def shard_splats(splats: GaussianSplats, mesh: Mesh, axis: str = SPLAT_AXIS) -> 
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), padded, specs
     )
+
+
+def _warn_exchange_dropped_cb(dropped) -> None:
+    from ..utils.logging import format_count, get_logger
+
+    log = get_logger("parallel")
+    d = int(dropped)
+    if d > 0:
+        log.warning_once(
+            f"strip-exchange bucket overflow — dropped {format_count(d)} "
+            "splat columns; raise RenderConfig.strip_exchange_factor",
+            key="strip_exchange_dropped",
+        )
+    else:
+        log.reset_once("strip_exchange_dropped")
+
+
+def _strip_exchange(
+    fields,
+    width: int,
+    strip_h: int,
+    d: int,
+    bucket: int,
+    axis: str,
+    config: RenderConfig,
+):
+    """Strip-compacted payload exchange: all_to_all instead of all_gather.
+
+    ``fields``: (16, n_local) sanitized projected fields of THIS device's
+    splat shard.  For each destination strip s, the local splats whose
+    footprint can overlap strip s (same y-extent/cull arithmetic the binning
+    uses — a superset of the splats binning will keep, so extras are culled
+    identically downstream) are compacted into a bucket of ``bucket``
+    columns; one ``all_to_all`` ships bucket s to device s.  Returns
+    (16, d·bucket) fields — every splat overlapping the local strip, in
+    global storage order (source-device-major, then local storage order),
+    padding columns benign/invalid — plus the global overflow count.
+
+    Per-device payload memory is O(d·bucket) = O(strip_exchange_factor·N)
+    instead of the all_gather path's O(N); the replicated global sort
+    shrinks identically (the strip sorts only its own splats — per-tile
+    compositing order, and therefore the image, is unchanged: a stable
+    depth sort of a storage-ordered subset preserves the global relative
+    order)."""
+    n_local = fields.shape[1]
+    y_lo = fields[ROW_CY] - fields[ROW_HY]
+    y_hi = fields[ROW_CY] + fields[ROW_HY]
+    x_lo = fields[ROW_CX] - fields[ROW_HX]
+    x_hi = fields[ROW_CX] + fields[ROW_HX]
+    alive = (
+        (fields[ROW_VALID] > 0.5)
+        & (x_hi >= 0.0)
+        & (x_lo < width)
+        & (y_hi >= 0.0)
+        & (y_lo < d * strip_h)
+    )
+    sh_px = float(strip_h)
+    s0 = jnp.clip(jnp.floor(y_lo / sh_px).astype(jnp.int32), 0, d - 1)
+    s1 = jnp.clip(jnp.floor(y_hi / sh_px).astype(jnp.int32), 0, d - 1)
+
+    ids = jnp.arange(n_local, dtype=jnp.int32)
+    benign = jnp.asarray(_BENIGN_COL)[:, None]
+    bufs = []
+    dropped = jnp.int32(0)
+    for s in range(d):  # static: d is the mesh axis size
+        m = alive & (s0 <= s) & (s <= s1)
+        pos = jnp.cumsum(m.astype(jnp.int32)) - 1
+        count = pos[-1] + 1 if n_local > 0 else jnp.int32(0)
+        idx = jnp.zeros((bucket,), jnp.int32).at[
+            jnp.where(m & (pos < bucket), pos, bucket)
+        ].set(ids, mode="drop")
+        slot_ok = jnp.arange(bucket, dtype=jnp.int32) < jnp.minimum(count, bucket)
+        cols = jnp.where(slot_ok[None, :], fields[:, idx], benign)
+        bufs.append(cols)
+        dropped = dropped + jnp.maximum(count - bucket, 0)
+    x = jnp.stack(bufs)  # (d, 16, bucket): bucket s for device s
+    x = jax.lax.all_to_all(x, axis, split_axis=0, concat_axis=0)
+    # x[j] is now what source device j compacted for MY strip; device-major
+    # concat = global storage order.
+    full = jnp.swapaxes(x, 0, 1).reshape(16, d * bucket)
+    return full, jax.lax.psum(dropped, axis)
 
 
 def _render_strip(
@@ -177,7 +272,23 @@ def render_sharded(
         # the gather: rounding per-shard is bit-identical to rounding the
         # gathered array, so sharded output still matches single-device
         # under payload_dtype=bfloat16.)
-        if config.payload_dtype == "bfloat16":
+        if config.strip_exchange_factor > 0.0:
+            # Sub-O(N)-per-device path: ship, per strip, only the splats
+            # that can overlap it (one all_to_all instead of all_gather).
+            bucket = min(
+                max(int(math.ceil(config.strip_exchange_factor * p.count)), 1),
+                p.count,
+            )
+            full, ex_dropped = _strip_exchange(
+                p.fields, camera.width, strip_h, d, bucket, axis, config
+            )
+            if (
+                config.warn_on_drop
+                and _backend_supports_callbacks()
+                and jax.process_count() == 1
+            ):
+                jax.debug.callback(_warn_exchange_dropped_cb, ex_dropped)
+        elif config.payload_dtype == "bfloat16":
             # The 10 payload rows are already bf16-representable — ship them
             # over ICI as real bf16 (half the collective bytes and half the
             # replicated-buffer HBM; upcast is exact).  Geometry rows (depth

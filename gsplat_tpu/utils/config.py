@@ -113,6 +113,20 @@ class RenderConfig:
     # cull warning, as always).
     strip_budget_factor: float = 2.0
 
+    # Strip-compacted payload exchange for the sharded renderer (0 =
+    # disabled → all_gather of the full projected payload, replicated sort).
+    # When > 0, each device compacts, per destination strip, only its local
+    # splats whose footprint overlaps that strip into a bucket of
+    # ceil(strip_exchange_factor · N/d) columns and ships buckets with ONE
+    # all_to_all (ICI): per-device payload memory and sort size drop from
+    # O(N) to O(strip_exchange_factor · N) — sub-O(N) per device, the
+    # scaling wall of the replicated design.  Bucket overflow drops the
+    # excess columns (warned once, like the pair-budget cull); with a
+    # factor covering the worst strip the image is bit-identical to the
+    # all_gather path AND the single-device render.  Typical scenes need
+    # factor ≈ max-strip-share + footprint overlap (≈ 2-3/d for d strips).
+    strip_exchange_factor: float = 0.0
+
     # Exact pair budget override (0 = derive from pairs_per_splat·N).  Set
     # by ``tune_pair_budget`` after measuring the scene's real (tile, splat)
     # pair count: every binning/gather/sort/VJP pass scales with the static

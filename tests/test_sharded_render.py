@@ -31,6 +31,46 @@ class TestShardedRender:
         # identical global sort order on every device → bit-level parity
         np.testing.assert_array_equal(img_multi, img_single)
 
+    @pytest.mark.parametrize("ndev", [2, 8])
+    def test_strip_exchange_matches_single_device(self, ndev):
+        """The sub-O(N)-per-device all_to_all exchange is bit-identical to
+        both the all_gather path and the single-device render when no
+        bucket overflows (factor=1.0 can never overflow)."""
+        import dataclasses
+
+        splats, cam = scene()
+        cfg = dataclasses.replace(CFG, strip_exchange_factor=1.0)
+        mesh = splat_mesh(ndev)
+        sharded = shard_splats(splats, mesh)
+        img_multi = np.asarray(render_sharded(sharded, cam, cfg, mesh, backend="tiles"))
+        img_single = np.asarray(render_tiles(pad_splats(splats, ndev), cam, CFG))
+        np.testing.assert_array_equal(img_multi, img_single)
+
+    def test_strip_exchange_tight_bucket_and_grads(self):
+        """A sub-1.0 factor that still covers the worst strip stays
+        bit-exact (this is the memory-saving regime: per-device payload is
+        factor·N columns instead of N), and gradients flow through the
+        compaction + all_to_all back to every parameter shard."""
+        import dataclasses
+
+        splats, cam = scene(n=256, w=64, h=256)  # 8 strips of 32 px
+        mesh = splat_mesh(8)
+        cfg = dataclasses.replace(CFG, strip_exchange_factor=0.5)
+        sharded = shard_splats(splats, mesh)
+        img = np.asarray(render_sharded(sharded, cam, cfg, mesh, backend="tiles"))
+        single = np.asarray(render_tiles(pad_splats(splats, 8), cam, CFG))
+        np.testing.assert_array_equal(img, single)
+
+        def loss(s):
+            return jnp.sum(
+                render_sharded(s, cam, cfg, mesh, backend="tiles")[..., :3]
+            )
+
+        g = jax.grad(loss)(sharded)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(bool(jnp.isfinite(x).all()) for x in leaves)
+        assert any(float(jnp.abs(x).max()) > 0 for x in leaves)
+
     def test_height_not_divisible(self):
         # H=100 is not a multiple of 8 devices * 32px tiles → internal pad+crop
         splats, cam = scene(h=100, w=64)
