@@ -320,6 +320,13 @@ def bin_splats(
     # Skipped in wireframe mode (the band extends past the quad) and soft
     # mode (no inside mask).
     sat_cull = (not config.soft_cutoff) and (not config.wireframe)
+    bits_tile = max(num_tiles.bit_length(), 1)
+    # Opacity-aware SAT threshold: the kernel also discards α < 1/255, so a
+    # splat's support is bounded by the quad AND the disc power ≤ ln(255·op)
+    # — per-axis |q| ≤ min(QUAD_EXTENT, ρ), ρ = √ln(255·op).  ρ rides in the
+    # spare high bits of the packed tnx row, CEIL-quantized to 8 bits so the
+    # dequantized threshold can only be looser (the cull stays exact).
+    rho_ok = packed_ok and ((num_tiles << (bits_nx + 8)) < 2**31) and sat_cull
     if sat_cull:
         fq = f[0:6]  # cx, cy, ax, ay, bx, by — same order as counts
         if order is not None:
@@ -329,6 +336,21 @@ def bin_splats(
         qrows = []
     if packed_ok:
         tnx = (tile0 << bits_nx) | nx1
+        if rho_ok:
+            # ρ in storage order (same space as tile0/nx1); the [order]
+            # reorder below then carries all three operands in one row.
+            # Low-op splats never expand (op < cutoff is culled), so the
+            # max() guard only avoids log-of-0 on benign columns.
+            rho = jnp.sqrt(
+                jnp.log(jnp.maximum(f[ROW_OP], ALPHA_CUTOFF) / ALPHA_CUTOFF)
+            )
+            thr_q = jnp.minimum(
+                jnp.ceil(
+                    jnp.minimum(rho, QUAD_EXTENT) * (255.0 / QUAD_EXTENT)
+                ).astype(jnp.int32),
+                255,
+            )
+            tnx = tnx | (thr_q << (bits_nx + bits_tile))
         rows = [offsets, tnx[order] if order is not None else tnx] + qrows
         i_q = 2
     else:  # huge tile grids: fall back to the 3-row gather
@@ -342,7 +364,13 @@ def bin_splats(
     r = pair_idx - g3[0]
     if packed_ok:
         nx_s = g3[1] & ((1 << bits_nx) - 1)
-        tile0_s = g3[1] >> bits_nx
+        if rho_ok:
+            tile0_s = (g3[1] >> bits_nx) & ((1 << bits_tile) - 1)
+            thr_s = (g3[1] >> (bits_nx + bits_tile)).astype(jnp.float32) * (
+                QUAD_EXTENT / 255.0
+            )
+        else:
+            tile0_s = g3[1] >> bits_nx
     else:
         nx_s = g3[1]
         tile0_s = g3[2]
