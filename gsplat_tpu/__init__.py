@@ -14,6 +14,7 @@ from .version import __version__
 from .models.camera import Camera, make_camera, look_at, perspective
 from .models.splats import GaussianSplats, make_splats, random_splats, to_numpy_dict
 from .utils.config import RenderConfig
+from .ops.binning import RenderStats, report_stats
 from .ops.projection import ProjectedSplats, project_splats
 from .ops.rasterize_ref import render_reference
 from .ops.rasterize_tiles import depth_order, render_tiles

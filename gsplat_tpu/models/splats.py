@@ -96,6 +96,12 @@ class GaussianSplats:
             lambda a, b: jnp.concatenate([a, b], axis=-1), self, other
         )
 
+    def head(self, n: int) -> "GaussianSplats":
+        """First ``n`` splats (the reference's partial-cluster budget clamp:
+        the cluster crossing GSplatCountMax still contributes its leading
+        splats, ``src/GSplatRenderer.C:364-366``)."""
+        return jax.tree.map(lambda a: a[..., :n], self)
+
     def barycenter(self) -> jax.Array:
         """Mean position, (3,) (``GEO_PrimGsplat::baryCenter``,
         ``src/GEO_GSplat.C:339-351``)."""

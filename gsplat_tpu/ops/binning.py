@@ -115,6 +115,12 @@ class BinnedPairs:
 
 _log = get_logger("binning")
 
+# Test hook: the SAT cull claims image- AND gradient-exactness, so the test
+# suite renders with it force-disabled and asserts bit-equality
+# (tests/test_config_features.py).  Never disable it in production — it only
+# removes exact-zero pairs.
+_SAT_CULL_ENABLED = True
+
 
 def _warn_dropped_cb(dropped) -> None:
     d = int(dropped)
@@ -139,6 +145,49 @@ def _backend_supports_callbacks() -> bool:
     except Exception:
         return True
     return "axon" not in version
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RenderStats:
+    """Overflow counters carried OUT of a jitted render as ordinary array
+    outputs — the transport that works everywhere host callbacks don't
+    (the axon TPU backend rejects host send/recv; multi-process runs can't
+    address the value).  Hosts with control flow (SceneRegistry, bench,
+    training loops) read them back and warn via :func:`report_stats`; the
+    async-callback path (:func:`warn_if_dropped`) stays as a CPU-only
+    nicety for bare ``render`` calls.
+
+    * ``dropped_pairs`` — (tile, splat) pairs truncated by the pair budget
+      or a tile's capacity (farthest-first; the analogue of the reference's
+      budget cull, ``src/GSplatRenderer.C:366-376``).
+    * ``exchange_dropped`` — splat columns dropped by strip-exchange bucket
+      overflow (storage-order, arbitrary depth — treat nonzero as
+      misconfiguration and raise ``strip_exchange_factor``).
+    """
+
+    dropped_pairs: jax.Array                    # () int32
+    exchange_dropped: jax.Array = None          # () int32 or None
+
+    def any_dropped_host(self) -> bool:
+        """Host-side: True if any counter is nonzero (blocks on the value)."""
+        d = int(self.dropped_pairs)
+        e = int(self.exchange_dropped) if self.exchange_dropped is not None else 0
+        return d > 0 or e > 0
+
+
+def report_stats(stats: "RenderStats", config: RenderConfig = None) -> None:
+    """Host-side overflow reporting: warn once per condition while it holds,
+    re-arm when it clears (the reference's one-time-logger contract,
+    ``src/GSplatLogger.C:102-138``).  Call AFTER the jitted render returned;
+    reads the counters to the host."""
+    if config is not None and not config.warn_on_drop:
+        return
+    _warn_dropped_cb(stats.dropped_pairs)
+    if stats.exchange_dropped is not None:
+        from ..parallel.render_sharded import _warn_exchange_dropped_cb
+
+        _warn_exchange_dropped_cb(stats.exchange_dropped)
 
 
 def warn_if_dropped(binned: "BinnedPairs", config: RenderConfig) -> None:
@@ -319,7 +368,9 @@ def bin_splats(
     # unit's cost is per sublane-group of 8, scripts/profile_gather5.py).
     # Skipped in wireframe mode (the band extends past the quad) and soft
     # mode (no inside mask).
-    sat_cull = (not config.soft_cutoff) and (not config.wireframe)
+    sat_cull = (
+        _SAT_CULL_ENABLED and (not config.soft_cutoff) and (not config.wireframe)
+    )
     bits_tile = max(num_tiles.bit_length(), 1)
     # Opacity-aware SAT threshold: the kernel also discards α < 1/255, so a
     # splat's support is bounded by the quad AND the disc power ≤ ln(255·op)
@@ -411,8 +462,24 @@ def bin_splats(
         qyc = bx_s * pcx + by_s * pcy
         e1 = hx_r * jnp.abs(ax_s) + hy_r * jnp.abs(ay_s)
         e2 = hx_r * jnp.abs(bx_s) + hy_r * jnp.abs(by_s)
-        thr = QUAD_EXTENT + 1e-3
-        separated = (jnp.abs(qxc) > thr + e1) | (jnp.abs(qyc) > thr + e2)
+        # Per-splat separation threshold: the quad extent, tightened to the
+        # opacity discard radius ρ when it rode in (CEIL-quantized, so only
+        # ever looser than the true ρ).  Separation at ρ on either quad axis
+        # means power > ρ² = ln(op/cutoff) at every pixel center, i.e.
+        # α < 1/255 — the kernel discards the pixel AND zeroes its gradient
+        # rows (hard mode), so the tightened cull stays image- and
+        # gradient-exact.
+        thr1 = thr_s if rho_ok else QUAD_EXTENT
+        # Margin: 1e-3 quad units absolute (association-order rounding vs
+        # the kernel's own qx/qy evaluation) plus a magnitude-relative term:
+        # qxc = ax·pcx + ay·pcy can cancel between large products for
+        # needle splats, where fp32 absolute error scales with the term
+        # magnitudes, not the result.
+        err1 = 1e-3 + 1e-6 * (jnp.abs(ax_s * pcx) + jnp.abs(ay_s * pcy))
+        err2 = 1e-3 + 1e-6 * (jnp.abs(bx_s * pcx) + jnp.abs(by_s * pcy))
+        separated = (jnp.abs(qxc) > thr1 + err1 + e1) | (
+            jnp.abs(qyc) > thr1 + err2 + e2
+        )
         live = live & jnp.logical_not(separated)
     tile = jnp.where(live, tile, num_tiles)
     # Invalid pairs point at *spread* real ranks instead of one shared

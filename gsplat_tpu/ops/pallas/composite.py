@@ -80,6 +80,19 @@ UNROLL = int(os.environ.get("GSPLAT_UNROLL", "4"))
                    # for on-chip sweeps (scripts/profile_chunk.py) — per-pair
                    # alpha math is independent, transmittance chains exactly,
                    # so any unroll is bit-identical
+GUNROLL = 8        # backward gradient-walk group: 8 pairs' sublane-reduced
+                   # moment rows pack into one (8, 128) register so every
+                   # gmat write is a full-tile aligned store (sub-register
+                   # stores measured ~2 cycles each — scripts/profile_bwd.py
+                   # ablations); must divide chunk and equal PACK_SUB for
+                   # store alignment
+N_ROWS_IN = 6      # per-pair rows the backward kernel actually emits into
+                   # gmat: {S0=Σdp2, S1=Σdp2·s, S2=Σdp2·s², Σdc·w ×3} — the
+                   # 5 dp2 moments are rebuilt from S0..S2 at chunk end by
+                   # lane arithmetic (dx has no sublane structure; dy = lane
+                   # part + sublane index), because moving a row into gmat
+                   # costs ~2 cycles whatever the store shape — row COUNT is
+                   # the only lever
 
 
 def _pixel_coords(ty, tx):
@@ -275,19 +288,25 @@ def _bwd_kernel(
     gbase_ref,     # (T,) int32 — gradient-space region base (chunk-aligned)
     yoff_ref,      # (1,) int32 — global tile-row offset of this strip
     payload_ref,   # (C_PAD, P_pad) HBM
-    fwd_out_ref,   # (1, 1, 4, 8, 128) VMEM block (unused; kept for residual plumbing)
     dout_ref,      # (1, 1, 4, 8, 128) VMEM block
     tchk_ref,      # (1, 1, max_chunks, 8, 128) VMEM block — fwd T checkpoints
+    zeros_ref,     # (C_PAD, G_pad) HBM in — pre-zeroed, aliased to dpay_ref:
+                   # chunks skipped by early termination keep their zeros, so
+                   # the kernel never walks them (one XLA memset replaces the
+                   # former per-chunk zero-DMA loop: 9.4k serialized DMAs per
+                   # frame at 1M/1080p — a pure pipeline stall)
     dpay_ref,      # (C_PAD, G_pad) HBM out — gradient address space
     buf,           # (2, C_PAD, chunk) SMEM in — scalar per-splat field reads
+    vbuf,          # (2, 8, chunk) VMEM in — payload rows 0..7 as lane
+                   # vectors (the chunk-end moment rebuild needs cx, cy per
+                   # pair in vector form; SMEM scalars can't make one)
     dbuf,          # (2, C_PAD, chunk) VMEM out staging
-    gmat,          # (N_SUMS, chunk, PACK_LANES) VMEM — per-pair moment rows
-    zbuf,          # (C_PAD, chunk) VMEM zeros for skipped chunks
+    gmat,          # (N_ROWS_IN, chunk, PACK_LANES) VMEM — per-pair S rows
     tsplat,        # (chunk, 8, 128) VMEM — per-splat transmittance, one chunk
     asplat,        # (chunk, 8, 128) VMEM — per-splat alpha, one chunk
     sem,
+    vsem,
     dsem,
-    zsem,
     *,
     ntx: int,
     chunk: int,
@@ -316,16 +335,18 @@ def _bwd_kernel(
     lanes (φ lead / tail) have α ≡ 0, which zeroes every gradient row they
     emit.
 
-    Reduction strategy (the hot part): the kernel emits the 9 RAW MOMENT
-    sums per pair (rows 0..8 of the gradient space: Σdp2, Σdp2·dx, Σdp2·dy,
-    Σdp2·dx², Σdp2·dxdy, Σdp2·dy², Σdc·w ×3) — NOT the 10 final gradients.
-    Each pair contributes 9 *sublane-reduced* lane-rows into ``gmat`` (3
-    adds each); one lane reduction per chunk finishes them.  The quad-basis
-    combine (10 gradients = per-splat linear combinations of the 9 moments)
-    is linear with per-splat coefficients, so it commutes with the per-splat
-    pair summation and runs ONCE PER SPLAT after the segment reduce
-    (``_csp_bwd``) — which also removes a second payload DMA and two Mosaic
-    transposes this kernel used to pay per chunk.
+    Reduction strategy (the hot part): the gradient space carries the 9 RAW
+    MOMENT sums per pair (rows 0..8: Σdp2·dx, Σdp2·dy, Σdp2·dx², Σdp2·dxdy,
+    Σdp2·dy², Σdc·w ×3, Σdp2) — NOT the 10 final gradients — because the
+    quad-basis combine is linear with per-splat coefficients, so it commutes
+    with the per-splat pair summation and runs ONCE PER SPLAT after the
+    segment reduce (``_csp_bwd``).  In-kernel, each pair emits only SIX
+    sublane-reduced rows (``N_ROWS_IN``: S0/S1/S2 + the 3 color rows); the
+    chunk-end rebuilds the 9 moments with tile-local lane weights and a
+    row-domain splat-center shift (see the chunk-end comment) — moving a
+    row into ``gmat`` costs ~2 cycles regardless of store shape, so row
+    count is what matters (9 → 6 rows + no per-pair dx/dy products:
+    ~7 ms/frame at 1M/1080p, scripts/profile_bwd.py).
     """
     ty = pl.program_id(0)
     tx = pl.program_id(1)
@@ -335,15 +356,33 @@ def _bwd_kernel(
     span = span_ref[t]
     used = used_ref[t]
     gbase = gbase_ref[t]
-    nchunks = pl.cdiv(span, chunk)
     nused = pl.cdiv(used, chunk)
-    px, py = _pixel_coords(ty + yoff_ref[0], tx)
+    tyg = ty + yoff_ref[0]
+    px, py = _pixel_coords(tyg, tx)
+    # Sublane iota (the s of v = vl + s) and the TILE-LOCAL per-lane pixel
+    # weight rows for the chunk-end moment rebuild: u = px − 32·tx depends
+    # on the lane only; v = py − 32·ty_glob = vl_row + s exactly (integers
+    # + 0.5).  Local weights keep |u|, |v| ≤ 32, so the splat-center shift
+    # in the row domain stays well-conditioned.
+    si_f = jax.lax.broadcasted_iota(
+        jnp.int32, (PACK_SUB, PACK_LANES), 0
+    ).astype(jnp.float32)
+    li1 = jax.lax.broadcasted_iota(jnp.int32, (1, PACK_LANES), 1)
+    u_row = (li1 % TILE).astype(jnp.float32) + 0.5
+    vl_row = (PACK_SUB * (li1 // TILE)).astype(jnp.float32) + 0.5
 
     def dma_in(slot, ci):
         return pltpu.make_async_copy(
             payload_ref.at[:, pl.ds(pl.multiple_of(base + ci * chunk, chunk), chunk)],
             buf.at[slot],
             sem.at[slot],
+        )
+
+    def dma_vec(slot, ci):
+        return pltpu.make_async_copy(
+            payload_ref.at[0:8, pl.ds(pl.multiple_of(base + ci * chunk, chunk), chunk)],
+            vbuf.at[slot],
+            vsem.at[slot],
         )
 
     def dma_out(slot, ci):
@@ -353,21 +392,8 @@ def _bwd_kernel(
             dsem.at[slot],
         )
 
-    # --- zero-fill gradient rows for chunks skipped by early termination ---
-    zbuf[...] = jnp.zeros((C_PAD, chunk), jnp.float32)
-
-    def zero_body(ci, _):
-        z = pltpu.make_async_copy(
-            zbuf,
-            dpay_ref.at[:, pl.ds(pl.multiple_of(gbase + ci * chunk, chunk), chunk)],
-            zsem,
-        )
-        z.start()
-        z.wait()
-        return 0
-
-    jax.lax.fori_loop(nused, nchunks, zero_body, 0)
-
+    # Chunks skipped by early termination keep the pre-zeroed gradient rows
+    # (zeros_ref is aliased into dpay_ref) — no zero-fill walk needed.
     dc_r = dout_ref[0, 0, 0]
     dc_g = dout_ref[0, 0, 1]
     dc_b = dout_ref[0, 0, 2]
@@ -377,6 +403,7 @@ def _bwd_kernel(
     @pl.when(nused > 0)
     def _():
         dma_in(jax.lax.rem(nused - 1, 2), nused - 1).start()
+        dma_vec(jax.lax.rem(nused - 1, 2), nused - 1).start()
 
     def body(state):
         k, u_acc = state  # k counts processed chunks (from the back)
@@ -387,8 +414,10 @@ def _bwd_kernel(
         @pl.when(ci - 1 >= 0)
         def _():
             dma_in(1 - slot, ci - 1).start()
+            dma_vec(1 - slot, ci - 1).start()
 
         dma_in(slot, ci).wait()
+        dma_vec(slot, ci).wait()
 
         # Make sure the out-staging slot we're about to fill is free.
         oslot = jax.lax.rem(k, 2)
@@ -418,11 +447,34 @@ def _bwd_kernel(
 
         jax.lax.fori_loop(0, chunk // UNROLL, fill_body, tchk_ref[0, 0, ci])
 
+        # The walk runs in groups of GUNROLL = 8 pairs, and each pair emits
+        # only N_ROWS_IN = 6 sublane-reduced lane-rows — NOT the 9 moments.
+        # dx has no sublane structure (px depends on the lane only) and
+        # dy = (pyl − cy) + s with s the sublane index, so every dp2 moment
+        # factors through three sublane-weighted sums
+        #     S0 = Σ_s dp2,   S1 = Σ_s dp2·s,   S2 = Σ_s dp2·s²
+        # and the chunk-end reconstructs the 5 dp2 moments by LANE arithmetic
+        # (Σdp2·dy² = Σ_l (pyl−cy)²·S0 + 2(pyl−cy)·S1 + S2, etc).  Moving
+        # rows into gmat costs ~2 cycles each regardless of store shape
+        # (per-pair sub-register stores and 8×-batched packs measured within
+        # 1 ms of each other — scripts/profile_bwd.py ablations), so fewer
+        # rows is the only lever: 6 instead of 9 cuts the dominant term by a
+        # third.  The group's 8 rows per moment pack into one (8, 128)
+        # register and write with one aligned full-tile store.
         def splat_body(jk, s):
-            for uu in range(UNROLL):
-                i = chunk - 1 - (jk * UNROLL + uu)
-                s = _grad_one(s, i)
-            return s
+            u_acc = s
+            rows = []
+            for uu in range(GUNROLL):
+                i = chunk - 1 - (jk * GUNROLL + uu)
+                u_acc, r6 = _grad_one(u_acc, i)
+                rows.append(r6)
+            i_lo = chunk - GUNROLL * (jk + 1)
+            for kk in range(N_ROWS_IN):
+                block = jnp.concatenate(
+                    [rows[GUNROLL - 1 - m][kk] for m in range(GUNROLL)], axis=0
+                )
+                gmat[kk, pl.ds(i_lo, GUNROLL), :] = block
+            return u_acc
 
         def _grad_one(u_acc, i):
             # Fused suffix accumulator: u = dc·s̃ − d_a·R collapses the four
@@ -431,8 +483,6 @@ def _bwd_kernel(
             #   u' = u + α·(K_i − u)
             # (both exact rewrites of the division-free identities in the
             # docstring; (K_i − u) is shared) — 9 VPU ops/pair instead of 22.
-            cx = buf[slot, 0, i]
-            cy = buf[slot, 1, i]
             r = buf[slot, 6, i]
             g = buf[slot, 7, i]
             b = buf[slot, 8, i]
@@ -450,39 +500,73 @@ def _bwd_kernel(
                 active = active & (alpha > 0.0)
             ga = jnp.where(active, d_alpha, 0.0)
             dp2 = -2.0 * ga * alpha  # 2·d_power, folded once
-            dx = px - cx
-            dy = py - cy
-            t1 = dp2 * dx
-            t2 = dp2 * dy
+            s1v = dp2 * si_f
 
-            # 9 sublane-reduced raw-moment lane-rows; the lane reduction for
-            # the whole chunk happens at chunk end, and the quad-basis
-            # combines move past the segment reduce (per splat, not per
-            # pair — ``_csp_bwd``), so no per-pair qx/qy anywhere.  Σdp2
-            # goes LAST (row 8): the VJP's gathers split at the 8-sublane
-            # boundary (see N_SUMS above).
-            def put(kk, v):
-                gmat[kk, pl.ds(i, 1), :] = jnp.sum(v, axis=0, keepdims=True)
+            def red(v):
+                return jnp.sum(v, axis=0, keepdims=True)
 
-            put(0, t1)
-            put(1, t2)
-            put(2, t1 * dx)
-            put(3, t1 * dy)
-            put(4, t2 * dy)
-            put(5, dc_r * w_i)
-            put(6, dc_g * w_i)
-            put(7, dc_b * w_i)
-            put(8, dp2)
-            return u_acc + alpha * ku
+            r6 = (
+                red(dp2), red(s1v), red(s1v * si_f),
+                red(dc_r * w_i), red(dc_g * w_i), red(dc_b * w_i),
+            )
+            return u_acc + alpha * ku, r6
 
-        u_acc = jax.lax.fori_loop(0, chunk // UNROLL, splat_body, u_acc)
+        u_acc = jax.lax.fori_loop(0, chunk // GUNROLL, splat_body, u_acc)
 
-        # ---- chunk-end: one lane reduction finishes all 9·chunk moments ----
-        # VPU tree-sum, NOT an MXU ones-matvec: the MXU truncates f32
+        # ---- chunk-end: rebuild the 9 moments + one lane reduction ----
+        # Pairs sit on the sublane axis of each (chunk, 128) gmat plane; the
+        # per-pair centers arrive as lane vectors (vbuf rows 0-1, DMA'd
+        # alongside the scalar payload) and are transposed once per chunk.
+        # VPU tree-sums, NOT an MXU ones-matvec: the MXU truncates f32
         # operands to bf16 at DEFAULT precision, corrupting the gradient
         # sums on real silicon (caught on-chip by scripts/verify_tpu.py —
         # interpreter-mode tests compute exact f32 and can't see it).
-        dbuf[oslot, 0:N_SUMS, :] = jnp.sum(gmat[...], axis=2)
+        # Two stages, both transpose-free (an explicit (1,128)->(128,1)
+        # relayout of the center vectors measured ~4 ms/frame):
+        #   1. lane-reduce the S planes against TILE-LOCAL pixel weights
+        #      (u = lane's px - tile left, v's lane part vl) -> 9
+        #      tile-local moments per pair, stacked as (9, chunk) rows;
+        #   2. shift to splat-centered moments IN THE ROW DOMAIN, where the
+        #      per-pair centers already are lane vectors (vbuf rows 0-1):
+        #      dx = u - cxl with cxl = cx - 32*tx, so e.g.
+        #      Σdp2·dx² = r_uu - 2·cxl·r_u + cxl²·r_0 — pure (1, chunk) FMAs.
+        # Tile-local u, v keep every term the same magnitude as the result
+        # (|u| ≤ 32; far-off splats have |dx| ≈ |cxl|), so the shift loses
+        # no precision the direct per-pixel product kept.
+        a = gmat[0]
+        b1 = gmat[1]
+        c2 = gmat[2]
+        e = vl_row * a + b1   # v-compressed: Σ_s dp2·v = vl·S0 + S1 per lane
+        raw = jnp.stack(
+            [
+                jnp.sum(a, axis=1),                       # r0  = M0
+                jnp.sum(u_row * a, axis=1),               # ru  = Σdp2·u
+                jnp.sum(u_row * u_row * a, axis=1),       # ruu = Σdp2·u²
+                jnp.sum(e, axis=1),                       # rv  = Σdp2·v
+                jnp.sum(u_row * e, axis=1),               # ruv = Σdp2·uv
+                jnp.sum(vl_row * (e + b1) + c2, axis=1),  # rvv = Σdp2·v²
+                jnp.sum(gmat[3], axis=1),                 # Σdc_r·w
+                jnp.sum(gmat[4], axis=1),                 # Σdc_g·w
+                jnp.sum(gmat[5], axis=1),                 # Σdc_b·w
+            ]
+        )  # (9, chunk): pairs on lanes — the dbuf/center-vector domain
+        r0 = raw[0:1]
+        ru = raw[1:2]
+        ruu = raw[2:3]
+        rv = raw[3:4]
+        ruv = raw[4:5]
+        rvv = raw[5:6]
+        cxl = vbuf[slot, 0:1, :] - (tx * TILE)   # (1, chunk) local centers
+        cyl = vbuf[slot, 1:2, :] - (tyg * TILE)
+        t1 = ru - cxl * r0
+        t2 = rv - cyl * r0
+        dbuf[oslot, 0:1, :] = t1
+        dbuf[oslot, 1:2, :] = t2
+        dbuf[oslot, 2:3, :] = ruu - cxl * (ru + t1)          # Σdp2·dx²
+        dbuf[oslot, 3:4, :] = ruv - cxl * rv - cyl * t1      # Σdp2·dxdy
+        dbuf[oslot, 4:5, :] = rvv - cyl * (rv + t2)          # Σdp2·dy²
+        dbuf[oslot, 5:8, :] = raw[6:9]
+        dbuf[oslot, 8:9, :] = r0
         dbuf[oslot, N_SUMS:C_PAD, :] = jnp.zeros(
             (C_PAD - N_SUMS, chunk), jnp.float32
         )
@@ -589,32 +673,32 @@ def _build_kernels(
                     (1, 1, 4, PACK_SUB, PACK_LANES),
                     lambda i, j, *_: (i, j, 0, 0, 0),
                     memory_space=pltpu.VMEM,
-                ),  # fwd out (for T_final)
-                pl.BlockSpec(
-                    (1, 1, 4, PACK_SUB, PACK_LANES),
-                    lambda i, j, *_: (i, j, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
                 ),  # d_out
                 pl.BlockSpec(
                     (1, 1, max_chunks, PACK_SUB, PACK_LANES),
                     lambda i, j, *_: (i, j, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),  # tchk (fwd transmittance checkpoints)
+                pl.BlockSpec(memory_space=pltpu.HBM),  # zeros (aliased to out)
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.HBM),  # d_payload (grad space)
             scratch_shapes=[
                 pltpu.SMEM((2, C_PAD, chunk), jnp.float32),   # buf
+                pltpu.VMEM((2, 8, chunk), jnp.float32),       # vbuf (cx,cy rows)
                 pltpu.VMEM((2, C_PAD, chunk), jnp.float32),   # dbuf
-                pltpu.VMEM((N_SUMS, chunk, PACK_LANES), jnp.float32),  # gmat
-                pltpu.VMEM((C_PAD, chunk), jnp.float32),      # zbuf
+                pltpu.VMEM((N_ROWS_IN, chunk, PACK_LANES), jnp.float32),  # gmat
                 pltpu.VMEM((chunk, PACK_SUB, PACK_LANES), jnp.float32),  # tsplat
                 pltpu.VMEM((chunk, PACK_SUB, PACK_LANES), jnp.float32),  # asplat
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((C_PAD, g_pad), jnp.float32),
+        # zeros input (index 9 over [6 scalars, payload, d_out, tchk, zeros])
+        # aliases the gradient-space output: one XLA memset pre-zeroes every
+        # chunk, so early-terminated chunks are never touched by the kernel.
+        input_output_aliases={9: 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
@@ -745,7 +829,7 @@ def _csp_fwd(
     )
     res = (
         fields, payload, tile_base, tile_phi, tile_span, used, grad_base,
-        dest_of_exp, exp_offsets, exp_counts, exp_rank, row_offset, out, tchk,
+        dest_of_exp, exp_offsets, exp_counts, exp_rank, row_offset, tchk,
         pair_splat, order,
     )
     return out, res
@@ -754,7 +838,7 @@ def _csp_fwd(
 def _csp_bwd(nty, ntx, config, interpret, res, g):
     (
         fields, payload, tile_base, tile_phi, tile_span, used, grad_base,
-        dest_of_exp, exp_offsets, exp_counts, exp_rank, row_offset, out, tchk,
+        dest_of_exp, exp_offsets, exp_counts, exp_rank, row_offset, tchk,
         pair_splat, order,
     ) = res
     from ..binning import grad_pad_size
@@ -765,7 +849,7 @@ def _csp_bwd(nty, ntx, config, interpret, res, g):
     )
     d_grad_space = bwd_call(
         tile_base, tile_phi, tile_span, used, grad_base, row_offset,
-        payload, out, g, tchk,
+        payload, g, tchk, jnp.zeros((C_PAD, g_pad), jnp.float32),
     )
     # gradient space → expansion order.  Dropped pairs carry ~j (negative):
     # decode to a spread in-range dummy query (duplicate-query hotspots

@@ -158,12 +158,16 @@ def render_tiles(
     camera: Camera,
     config: RenderConfig = RenderConfig(),
     order: jnp.ndarray = None,
+    with_stats: bool = False,
 ) -> jnp.ndarray:
-    """End-to-end tiled render.  Returns (H, W, 4) premultiplied RGBA.
+    """End-to-end tiled render.  Returns (H, W, 4) premultiplied RGBA — or
+    ``(image, RenderStats)`` with ``with_stats=True``.
 
     ``order``: optional precomputed depth permutation (see
     :func:`depth_order`) — the amortized-sort path; recomputed when None.
     """
+    from .binning import RenderStats  # local: binning imports config only
+
     projected = project_splats(
         splats, camera, config.sh_order,
         tight_footprint=not config.soft_cutoff, only_sh=config.only_sh,
@@ -172,9 +176,20 @@ def render_tiles(
     if order is None:
         p = sort_by_depth(p)
     else:
-        p = ProjectedSplats(fields=permute_cols(p.fields, order, 10))
+        # Same 14-row + pad shape as sort_by_depth (8 + 6 gather split).
+        p = ProjectedSplats(
+            fields=jnp.pad(
+                permute_cols(p.fields[:14], order, 10),
+                ((0, N_FIELDS - 14), (0, 0)),
+            )
+        )
     binned = bin_splats(p, camera.width, camera.height, config)
     warn_if_dropped(binned, config)
     nty, ntx = tile_grid(camera.width, camera.height, config.tile_h, config.tile_w)
     lists = build_tile_lists(binned, nty * ntx, config.tile_capacity, p.count)
-    return composite_tile_lists(lists, p.fields, camera.width, camera.height, config)
+    image = composite_tile_lists(
+        lists, p.fields, camera.width, camera.height, config
+    )
+    if with_stats:
+        return image, RenderStats(dropped_pairs=binned.dropped_pairs)
+    return image

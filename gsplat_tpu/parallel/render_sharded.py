@@ -121,34 +121,11 @@ def _warn_exchange_dropped_cb(dropped) -> None:
         log.reset_once("strip_exchange_dropped")
 
 
-def _strip_exchange(
-    fields,
-    width: int,
-    strip_h: int,
-    d: int,
-    bucket: int,
-    axis: str,
-    config: RenderConfig,
-):
-    """Strip-compacted payload exchange: all_to_all instead of all_gather.
-
-    ``fields``: (16, n_local) sanitized projected fields of THIS device's
-    splat shard.  For each destination strip s, the local splats whose
-    footprint can overlap strip s (same y-extent/cull arithmetic the binning
-    uses — a superset of the splats binning will keep, so extras are culled
-    identically downstream) are compacted into a bucket of ``bucket``
-    columns; one ``all_to_all`` ships bucket s to device s.  Returns
-    (16, d·bucket) fields — every splat overlapping the local strip, in
-    global storage order (source-device-major, then local storage order),
-    padding columns benign/invalid — plus the global overflow count.
-
-    Per-device payload memory is O(d·bucket) = O(strip_exchange_factor·N)
-    instead of the all_gather path's O(N); the replicated global sort
-    shrinks identically (the strip sorts only its own splats — per-tile
-    compositing order, and therefore the image, is unchanged: a stable
-    depth sort of a storage-ordered subset preserves the global relative
-    order)."""
-    n_local = fields.shape[1]
+def _strip_overlap(fields, width: int, strip_h: int, d: int):
+    """Shared compaction predicate: which strips can each projected splat's
+    footprint overlap?  Returns ``(alive, s0, s1)`` — the exact test
+    ``_strip_exchange`` compacts by AND ``measure_strip_counts`` counts by,
+    so the tuner can never under-size the buckets it measures for."""
     y_lo = fields[ROW_CY] - fields[ROW_HY]
     y_hi = fields[ROW_CY] + fields[ROW_HY]
     x_lo = fields[ROW_CX] - fields[ROW_HX]
@@ -163,6 +140,43 @@ def _strip_exchange(
     sh_px = float(strip_h)
     s0 = jnp.clip(jnp.floor(y_lo / sh_px).astype(jnp.int32), 0, d - 1)
     s1 = jnp.clip(jnp.floor(y_hi / sh_px).astype(jnp.int32), 0, d - 1)
+    return alive, s0, s1
+
+
+def _strip_exchange(
+    fields,
+    width: int,
+    strip_h: int,
+    d: int,
+    bucket: int,
+    axis: str,
+):
+    """Strip-compacted payload exchange: all_to_all instead of all_gather.
+
+    ``fields``: (16, n_local) sanitized projected fields of THIS device's
+    splat shard.  For each destination strip s, the local splats whose
+    footprint can overlap strip s (same y-extent/cull arithmetic the binning
+    uses — a superset of the splats binning will keep, so extras are culled
+    identically downstream) are compacted into a bucket of ``bucket``
+    columns; one ``all_to_all`` ships bucket s to device s.  Returns
+    (16, d·bucket) fields — every splat overlapping the local strip, in
+    global storage order (source-device-major, then local storage order),
+    padding columns benign/invalid — plus the global overflow count.
+
+    Overflow semantics: when a bucket overflows, the splats compacted LAST
+    in local storage order are dropped — arbitrary depth, unlike the
+    pair-budget cull's farthest-first truncation — so treat a nonzero drop
+    count as misconfiguration and raise ``strip_exchange_factor`` (or call
+    ``tune_strip_exchange`` to measure the scene's real worst-strip share).
+
+    Per-device payload memory is O(d·bucket) = O(strip_exchange_factor·N)
+    instead of the all_gather path's O(N); the replicated global sort
+    shrinks identically (the strip sorts only its own splats — per-tile
+    compositing order, and therefore the image, is unchanged: a stable
+    depth sort of a storage-ordered subset preserves the global relative
+    order)."""
+    n_local = fields.shape[1]
+    alive, s0, s1 = _strip_overlap(fields, width, strip_h, d)
 
     ids = jnp.arange(n_local, dtype=jnp.int32)
     benign = jnp.asarray(_BENIGN_COL)[:, None]
@@ -196,6 +210,7 @@ def _render_strip(
     backend: str,
     order=None,
     n_strips: int = 1,
+    interpret: bool = False,
 ):
     """Bin + composite one horizontal strip of tile rows (local to a device).
 
@@ -205,6 +220,8 @@ def _render_strip(
     selects the strip.  Splat coordinates are never shifted — tile indices
     and pixel coordinates use exact integer offsets, so every strip is
     bit-identical to the matching rows of a full-frame render.
+
+    Returns ``(image, dropped_pairs)`` — the strip-local truncation count.
     """
     p = projected
     binned = bin_splats(
@@ -233,12 +250,121 @@ def _render_strip(
             nty,
             ntx,
             config,
+            interpret,
         )
-        return unpack_image(packed, strip_h, width)
+        return unpack_image(packed, strip_h, width), binned.dropped_pairs
     lists = build_tile_lists(binned, nty * ntx, config.tile_capacity, p.count)
-    return composite_tile_lists(
+    image = composite_tile_lists(
         lists, p.fields, width, strip_h, config, row_offset=row_offset
     )
+    return image, binned.dropped_pairs
+
+
+def exchange_projected(
+    p: ProjectedSplats,
+    width: int,
+    strip_h: int,
+    d: int,
+    config: RenderConfig,
+    axis: str,
+) -> ProjectedSplats:
+    """Collect every strip-relevant projected field column on this device.
+
+    ``p`` is this device's sanitized+quantized projected shard; returns the
+    (16, ·) fields every splat overlapping the local strip, in global
+    storage order.  Three policies, chosen by ``config`` (shared by the
+    sharded renderer AND the sharded trainer so both speak the same
+    collective / precision dialect):
+
+    * ``strip_exchange_factor > 0`` — sub-O(N)-per-device ``all_to_all`` of
+      per-strip compacted buckets (overflow drops columns, warned);
+    * ``payload_dtype == "bfloat16"`` — ``all_gather`` with the 10 payload
+      rows shipped as real bf16 over ICI (half the collective bytes;
+      quantization happened per-shard already, so the upcast is exact);
+    * default — fp32 ``all_gather`` of the full field matrix.
+
+    Returns ``(fields, exchange_dropped)`` — the drop count is a traced
+    scalar for the strip-exchange path, else a constant 0.
+    """
+    ex_dropped = jnp.int32(0)
+    if config.strip_exchange_factor > 0.0:
+        # Sub-O(N)-per-device path: ship, per strip, only the splats
+        # that can overlap it (one all_to_all instead of all_gather).
+        bucket = min(
+            max(int(math.ceil(config.strip_exchange_factor * p.count)), 1),
+            p.count,
+        )
+        full, ex_dropped = _strip_exchange(
+            p.fields, width, strip_h, d, bucket, axis
+        )
+        if (
+            config.warn_on_drop
+            and _backend_supports_callbacks()
+            and jax.process_count() == 1
+        ):
+            jax.debug.callback(_warn_exchange_dropped_cb, ex_dropped)
+    elif config.payload_dtype == "bfloat16":
+        # The 10 payload rows are already bf16-representable — ship them
+        # over ICI as real bf16 (half the collective bytes and half the
+        # replicated-buffer HBM; upcast is exact).  Geometry rows (depth
+        # key, validity, footprint) stay fp32.
+        pay = jax.lax.all_gather(
+            p.fields[:10].astype(jnp.bfloat16), axis, axis=1, tiled=True
+        ).astype(jnp.float32)
+        geo = jax.lax.all_gather(p.fields[10:], axis, axis=1, tiled=True)
+        full = jnp.concatenate([pay, geo], axis=0)
+    else:
+        full = jax.lax.all_gather(p.fields, axis, axis=1, tiled=True)
+    return ProjectedSplats(fields=full), ex_dropped
+
+
+def local_strip_render(
+    splats_local: GaussianSplats,
+    camera: Camera,
+    strip_h: int,
+    d: int,
+    config: RenderConfig,
+    backend: str,
+    axis: str,
+    interpret: bool = False,
+    with_stats: bool = False,
+):
+    """Device-local body of the sharded render: project this device's splat
+    shard, exchange the compact projected payload, sort, and composite the
+    local strip of tile rows.  Runs inside ``shard_map`` (the sharded
+    renderer's ``local_fn`` and each camera of the sharded trainer's loss).
+
+    ``with_stats=True`` additionally returns the device-global overflow
+    counters (pair-budget drops psum'd over strips + exchange drops) as a
+    :class:`gsplat_tpu.ops.binning.RenderStats`.
+    """
+    from ..ops.binning import RenderStats  # local import: avoid cycle
+
+    projected = project_splats(
+        splats_local, camera, config.sh_order,
+        tight_footprint=not config.soft_cutoff, only_sh=config.only_sh,
+    )
+    # Quantized BEFORE the collective: rounding per-shard is bit-identical
+    # to rounding the gathered array, so sharded output still matches
+    # single-device under payload_dtype=bfloat16.
+    p = quantize_payload(sanitize_projected(projected), config)
+    full, ex_dropped = exchange_projected(
+        p, camera.width, strip_h, d, config, axis
+    )
+    p_sorted = sort_by_depth(full)
+    di = jax.lax.axis_index(axis)
+    row_offset = di * (strip_h // config.tile_h)
+    strip, dropped = _render_strip(
+        p_sorted, camera.width, strip_h, row_offset, config, backend,
+        n_strips=d, interpret=interpret,
+    )
+    if not with_stats:
+        return strip
+    stats = RenderStats(
+        dropped_pairs=jax.lax.psum(dropped, axis),
+        exchange_dropped=ex_dropped,
+    )
+    return strip, stats
 
 
 def render_sharded(
@@ -248,73 +374,130 @@ def render_sharded(
     mesh: Mesh = None,
     backend: str = "auto",
     axis: str = SPLAT_AXIS,
+    with_stats: bool = False,
 ) -> jnp.ndarray:
     """Multi-device render.  ``splats`` leading dims must divide the mesh
-    axis (use :func:`shard_splats`).  Returns (H, W, 4), rows sharded.
+    axis (use :func:`shard_splats`).  Returns (H, W, 4), rows sharded — or
+    ``(image, RenderStats)`` with ``with_stats=True`` (replicated overflow
+    counters as jit outputs, the transport that works on backends without
+    host callbacks and in multi-process runs).
     """
     if mesh is None:
         raise ValueError("render_sharded requires a mesh")
     if backend == "auto":
         backend = "pallas" if jax.default_backend() != "cpu" else "tiles"
+    # "pallas_interpret": the production pallas strip path executed through
+    # the Pallas interpreter — runs on the CPU mesh, so the sharded-pallas
+    # combination (nonzero row_offset, storage-order VJP, per-strip budgets)
+    # is testable without a pod.
+    interpret = backend == "pallas_interpret"
+    if interpret:
+        backend = "pallas"
     d = mesh.shape[axis]
     # Each device owns an equal strip of 32-px-aligned tile rows.
     h_pad = pad_to_multiple(camera.height, d * config.tile_h)
     strip_h = h_pad // d
 
     def local_fn(splats_local):
-        projected = project_splats(
-            splats_local, camera, config.sh_order,
-            tight_footprint=not config.soft_cutoff, only_sh=config.only_sh,
-        )
-        p = quantize_payload(sanitize_projected(projected), config)
-        # Compact payload exchange: every device needs every projected
-        # splat's field column, never the raw parameters.  (Quantized BEFORE
-        # the gather: rounding per-shard is bit-identical to rounding the
-        # gathered array, so sharded output still matches single-device
-        # under payload_dtype=bfloat16.)
-        if config.strip_exchange_factor > 0.0:
-            # Sub-O(N)-per-device path: ship, per strip, only the splats
-            # that can overlap it (one all_to_all instead of all_gather).
-            bucket = min(
-                max(int(math.ceil(config.strip_exchange_factor * p.count)), 1),
-                p.count,
-            )
-            full, ex_dropped = _strip_exchange(
-                p.fields, camera.width, strip_h, d, bucket, axis, config
-            )
-            if (
-                config.warn_on_drop
-                and _backend_supports_callbacks()
-                and jax.process_count() == 1
-            ):
-                jax.debug.callback(_warn_exchange_dropped_cb, ex_dropped)
-        elif config.payload_dtype == "bfloat16":
-            # The 10 payload rows are already bf16-representable — ship them
-            # over ICI as real bf16 (half the collective bytes and half the
-            # replicated-buffer HBM; upcast is exact).  Geometry rows (depth
-            # key, validity, footprint) stay fp32.
-            pay = jax.lax.all_gather(
-                p.fields[:10].astype(jnp.bfloat16), axis, axis=1, tiled=True
-            ).astype(jnp.float32)
-            geo = jax.lax.all_gather(p.fields[10:], axis, axis=1, tiled=True)
-            full = jnp.concatenate([pay, geo], axis=0)
-        else:
-            full = jax.lax.all_gather(p.fields, axis, axis=1, tiled=True)
-        p_sorted = sort_by_depth(ProjectedSplats(fields=full))
-        di = jax.lax.axis_index(axis)
-        row_offset = di * (strip_h // config.tile_h)
-        return _render_strip(
-            p_sorted, camera.width, strip_h, row_offset, config, backend,
-            n_strips=d,
+        return local_strip_render(
+            splats_local, camera, strip_h, d, config, backend, axis,
+            interpret=interpret, with_stats=with_stats,
         )
 
     in_specs = (splat_sharding_spec(axis),)
-    out_specs = P(axis)
+    from ..ops.binning import RenderStats
+
+    out_specs = (
+        (P(axis), RenderStats(dropped_pairs=P(), exchange_dropped=P()))
+        if with_stats
+        else P(axis)
+    )
     # check_vma=False: the compositing scan initializes its carry from
     # device-invariant constants, which the varying-axes checker rejects even
     # though the computation is correct under replication.
     fn = jax.shard_map(
         local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
     )
+    if with_stats:
+        image, stats = fn(splats)
+        return image[: camera.height], stats
     image = fn(splats)
     return image[: camera.height]
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _strip_counts_jit(splats, camera, width, strip_h, d, config):
+    p = quantize_payload(
+        sanitize_projected(
+            project_splats(
+                splats, camera, config.sh_order,
+                tight_footprint=not config.soft_cutoff,
+            )
+        ),
+        config,
+    )
+    alive, s0, s1 = _strip_overlap(p.fields, width, strip_h, d)
+    n_local = p.count // d
+    counts = []
+    for s in range(d):
+        m = (alive & (s0 <= s) & (s <= s1)).astype(jnp.int32)
+        counts.append(jnp.sum(m.reshape(d, n_local), axis=1))
+    return jnp.stack(counts, axis=1)  # (source shard, dest strip)
+
+
+def measure_strip_counts(
+    splats: GaussianSplats,
+    camera: Camera,
+    d: int,
+    config: RenderConfig = RenderConfig(),
+):
+    """(d, d) host matrix: how many of source shard i's splats the strip
+    exchange would compact for dest strip j this frame — the exact
+    ``_strip_overlap`` predicate on the exact contiguous shard blocks
+    ``shard_splats`` creates.  One cheap counting pass (projection + bbox
+    arithmetic; no pair arrays, no mesh needed)."""
+    import numpy as np
+
+    h_pad = pad_to_multiple(camera.height, d * config.tile_h)
+    strip_h = h_pad // d
+    padded = pad_splats(splats, d)
+    return np.asarray(
+        _strip_counts_jit(padded, camera, camera.width, strip_h, d, config)
+    )
+
+
+def tune_strip_exchange(
+    splats: GaussianSplats,
+    cameras,
+    d: int,
+    config: RenderConfig = RenderConfig(),
+    headroom: float = 1.3,
+) -> RenderConfig:
+    """Measure the scene's real worst (shard, strip) overlap share and set
+    ``strip_exchange_factor`` with ``headroom`` — the strip-exchange
+    analogue of :func:`gsplat_tpu.tune_pair_budget`.
+
+    Bucket overflow drops splat columns in storage order (arbitrary depth),
+    so the factor must never be guessed low; measuring the worst strip and
+    adding headroom makes the sub-O(N) exchange safe by construction for
+    the measured cameras (and warned-on, via the drop counters, for any
+    camera that exceeds them).  ``cameras``: one Camera or an iterable
+    (e.g. a training set's extremes); the max across them is used.
+
+    Returns a config whose factor yields per-device payload memory of
+    ``factor·N/d`` columns instead of ``N`` (factor ≤ 1; a measured factor
+    at or above 1 − 1/d means the exchange cannot beat the all_gather for
+    this scene, and the returned config keeps factor = 0).
+    """
+    if isinstance(cameras, Camera):
+        cameras = [cameras]
+    n_local = pad_to_multiple(splats.count, d) // d
+    worst = 0
+    for cam in cameras:
+        worst = max(worst, int(measure_strip_counts(splats, cam, d, config).max()))
+    factor = min(headroom * worst / max(n_local, 1), 1.0)
+    if factor >= 1.0 - 1.0 / d:
+        # d·bucket ≥ (d−1)·n_local: the exchange would ship ~as many columns
+        # as the all_gather while paying the compaction — not worth it.
+        return dataclasses.replace(config, strip_exchange_factor=0.0)
+    return dataclasses.replace(config, strip_exchange_factor=factor)

@@ -23,10 +23,16 @@ import jax.numpy as jnp
 
 from .models.camera import Camera
 from .models.splats import GaussianSplats
-from .ops.binning import bin_splats, count_pairs, tile_grid, warn_if_dropped
+from .ops.binning import (
+    RenderStats,
+    bin_splats,
+    count_pairs,
+    tile_grid,
+    warn_if_dropped,
+)
 from .ops.pallas.composite import composite_splats_pallas, unpack_image
 from .ops.permute import permute_cols
-from .ops.projection import ProjectedSplats, project_splats
+from .ops.projection import N_FIELDS, ProjectedSplats, project_splats
 from .ops.rasterize_ref import quantize_payload, render_reference, sanitize_projected
 from .ops.rasterize_tiles import render_tiles, sort_by_depth
 from .utils.config import RenderConfig
@@ -38,8 +44,11 @@ def render_pallas(
     config: RenderConfig = RenderConfig(),
     interpret: bool = False,
     order: jnp.ndarray = None,
+    with_stats: bool = False,
 ) -> jnp.ndarray:
-    """Fused-kernel render.  Returns (H, W, 4) premultiplied RGBA.
+    """Fused-kernel render.  Returns (H, W, 4) premultiplied RGBA — or
+    ``(image, RenderStats)`` with ``with_stats=True`` (overflow counters as
+    jit outputs; see :class:`gsplat_tpu.ops.binning.RenderStats`).
 
     ``order``: optional precomputed depth permutation (amortized sort).
     """
@@ -61,7 +70,15 @@ def render_pallas(
     if order is None:
         p = sort_by_depth(p)
     else:
-        p = ProjectedSplats(fields=permute_cols(p.fields, order, 10))
+        # Mirror sort_by_depth's shape: permute the 14 live rows and pad the
+        # two structural-zero rows — one full + one 6-row sublane-group
+        # gather pass (the measured-winning split) instead of 8+8.
+        p = ProjectedSplats(
+            fields=jnp.pad(
+                permute_cols(p.fields[:14], order, 10),
+                ((0, N_FIELDS - 14), (0, 0)),
+            )
+        )
     binned = bin_splats(
         p, camera.width, camera.height, config, with_tiles=False, with_grad_map=True
     )
@@ -90,7 +107,10 @@ def render_pallas(
         config,
         interpret,
     )
-    return unpack_image(packed, camera.height, camera.width)
+    image = unpack_image(packed, camera.height, camera.width)
+    if with_stats:
+        return image, RenderStats(dropped_pairs=binned.dropped_pairs)
+    return image
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -158,16 +178,30 @@ def render(
     camera: Camera,
     config: RenderConfig = RenderConfig(),
     backend: str = "auto",
+    with_stats: bool = False,
 ) -> jnp.ndarray:
-    """Render a splat scene.  Returns (H, W, 4) premultiplied RGBA."""
+    """Render a splat scene.  Returns (H, W, 4) premultiplied RGBA.
+
+    ``with_stats=True`` returns ``(image, RenderStats)`` instead — the
+    overflow counters ride out of the jitted render as ordinary outputs, so
+    hosts can warn on budget truncation even where host callbacks are
+    unsupported (axon TPU backend, multi-process runs); pass them to
+    :func:`gsplat_tpu.ops.binning.report_stats`.
+    """
     if backend == "auto":
         backend = "pallas" if jax.default_backend() != "cpu" else "tiles"
     if backend == "pallas":
-        return render_pallas(splats, camera, config)
+        return render_pallas(splats, camera, config, with_stats=with_stats)
     if backend == "pallas_interpret":
-        return render_pallas(splats, camera, config, interpret=True)
+        return render_pallas(
+            splats, camera, config, interpret=True, with_stats=with_stats
+        )
     if backend == "tiles":
-        return render_tiles(splats, camera, config)
+        return render_tiles(splats, camera, config, with_stats=with_stats)
     if backend == "reference":
-        return render_reference(splats, camera, config)
+        image = render_reference(splats, camera, config)
+        if with_stats:
+            # the O(N·H·W) oracle composites every splat — nothing can drop
+            return image, RenderStats(dropped_pairs=jnp.int32(0))
+        return image
     raise ValueError(f"unknown backend {backend!r}")

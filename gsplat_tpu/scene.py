@@ -79,6 +79,7 @@ class SceneRegistry:
         self.sort_movement_threshold = 0.0  # reference default: any movement
         self._explicit_camera_pos: Optional[np.ndarray] = None
         self._sh_order: Optional[int] = None
+        self._last_stats = None  # previous frame's RenderStats (deferred read)
 
     # ------------------------------------------------------------------ API
     def register_update(self, key: str, splats: GaussianSplats, version: int = 0) -> str:
@@ -160,6 +161,15 @@ class SceneRegistry:
             if total + e.splats.count <= budget:
                 chosen.append(e.splats)
                 total += e.splats.count
+            elif total < budget:
+                # Partial-cluster clamp: the reference still draws the first
+                # budget − total splats of the cluster that crosses the cap
+                # (myGSplatCount = min(total, GSplatCountMax),
+                # src/GSplatRenderer.C:364-366) — only the excess is culled.
+                head = budget - total
+                chosen.append(e.splats.head(head))
+                total = budget
+                culled += e.splats.count - head
             else:
                 culled += e.splats.count
         if culled:
@@ -200,7 +210,19 @@ class SceneRegistry:
         return dataclasses.replace(camera, view=new_view, explicit_camera_pos=explicit)
 
     def render(self, camera: Camera, backend: str = "auto") -> Optional[jnp.ndarray]:
-        """Render all active clusters.  Returns (H, W, 4) or None if empty."""
+        """Render all active clusters.  Returns (H, W, 4) or None if empty.
+
+        Overflow reporting: every render carries the binning overflow
+        counters out as jit outputs (works on backends without host
+        callbacks, e.g. the axon TPU tunnel).  To avoid a device sync per
+        frame, the PREVIOUS frame's counters are read and reported at the
+        start of the next render — by then they have long materialized.
+        """
+        from .ops.binning import report_stats
+
+        if self._last_stats is not None:
+            report_stats(self._last_stats, self.config)
+            self._last_stats = None
         self.generate_render_geometry()
         if self._cached is None:
             return None
@@ -227,12 +249,21 @@ class SceneRegistry:
         if backend in ("tiles", "auto") and jax.default_backend() == "cpu":
             from .ops.rasterize_tiles import render_tiles
 
-            return render_tiles(self._cached, cam, cfg, order=self._order)
+            img, self._last_stats = render_tiles(
+                self._cached, cam, cfg, order=self._order, with_stats=True
+            )
+            return img
         if backend in ("pallas", "auto"):
             from .render import render_pallas
 
-            return render_pallas(self._cached, cam, cfg, order=self._order)
-        return _render(self._cached, cam, cfg, backend=backend)
+            img, self._last_stats = render_pallas(
+                self._cached, cam, cfg, order=self._order, with_stats=True
+            )
+            return img
+        img, self._last_stats = _render(
+            self._cached, cam, cfg, backend=backend, with_stats=True
+        )
+        return img
 
     def post_render(self) -> None:
         """Age + deactivate entries; clear the explicit camera (:660-678)."""

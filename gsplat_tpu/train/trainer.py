@@ -21,10 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.camera import Camera
 from ..parallel.mesh import BATCH_AXIS, SPLAT_AXIS, pad_to_multiple
-from ..parallel.render_sharded import _render_strip
-from ..ops.projection import ProjectedSplats, project_splats
-from ..ops.rasterize_ref import sanitize_projected
-from ..ops.rasterize_tiles import sort_by_depth
+from ..parallel.render_sharded import local_strip_render
 from ..render import render
 from ..utils.config import RenderConfig
 from .loss import l1_loss, render_loss, ssim_strip
@@ -106,7 +103,15 @@ def make_sharded_train_step(
     Layout: params + optimizer state sharded over ``sp`` (every device holds
     N/sp splats and their Adam moments — memory-scalable); camera batch
     sharded over ``dp``; targets sharded (batch over ``dp``, image rows over
-    ``sp``).  The loss is the full 3DGS objective (1−λ)·L1 + λ·(1−SSIM):
+    ``sp``).  The render inside the loss is the renderer's own device-local
+    path (:func:`gsplat_tpu.parallel.render_sharded.local_strip_render`), so
+    every renderer scaling feature applies to training too:
+    ``payload_dtype="bfloat16"`` ships the per-step payload collective as
+    bf16, ``strip_exchange_factor > 0`` replaces the O(N) all_gather +
+    replicated sort with the strip-compacted ``all_to_all`` (sub-O(N)
+    per-device memory AND sort), and hard-cutoff configs bin with the tight
+    opacity-aware footprint.  The loss is the full 3DGS objective
+    (1−λ)·L1 + λ·(1−SSIM):
     the 11×11 SSIM windows near strip boundaries read 5 neighbour rows via
     a ``ppermute`` halo exchange (:func:`gsplat_tpu.train.loss.ssim_strip`),
     so sharded and single-device losses agree to float rounding.
@@ -118,6 +123,9 @@ def make_sharded_train_step(
     """
     if backend == "auto":
         backend = "pallas" if jax.default_backend() != "cpu" else "tiles"
+    interpret = backend == "pallas_interpret"
+    if interpret:
+        backend = "pallas"
     dp = mesh.shape[BATCH_AXIS]
     sp = mesh.shape[SPLAT_AXIS]
     h_pad = pad_to_multiple(camera.height, sp * config.tile_h)
@@ -128,19 +136,18 @@ def make_sharded_train_step(
 
         def loss_fn(p):
             splats = splats_from_params(p)
-            si = jax.lax.axis_index(SPLAT_AXIS)
-            row_offset = si * (strip_h // config.tile_h)
             total = 0.0
             for b in range(b_local):  # static, small
                 cam_b = dataclasses.replace(
                     camera, view=views_l[b], proj=projs_l[b]
                 )
-                pr = sanitize_projected(project_splats(splats, cam_b, config.sh_order))
-                full = jax.lax.all_gather(pr.fields, SPLAT_AXIS, axis=1, tiled=True)
-                pr_sorted = sort_by_depth(ProjectedSplats(fields=full))
-                strip = _render_strip(
-                    pr_sorted, camera.width, strip_h, row_offset, config,
-                    backend, n_strips=sp,
+                # The renderer's full device-local path — payload
+                # quantization, bf16 / strip-compacted collectives, tight
+                # footprints, per-strip budgets — so training follows the
+                # same precision + scaling policy as interactive rendering.
+                strip = local_strip_render(
+                    splats, cam_b, strip_h, sp, config, backend, SPLAT_AXIS,
+                    interpret=interpret,
                 )
                 rgb = strip[..., :3] + (1.0 - strip[..., 3:4])
                 loss_b = (1.0 - lambda_dssim) * l1_loss(rgb, targets_l[b])

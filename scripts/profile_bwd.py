@@ -78,22 +78,36 @@ out, used, tchk = timeit(
 g = jnp.ones_like(out)
 d_grad = timeit(
     "bwd kernel",
-    lambda pay, o, gg, t: bwd_call(
+    lambda pay, gg, t: bwd_call(
         binned.tile_base, binned.tile_phi, binned.tile_span, used,
-        binned.grad_base, row_off, pay, o, gg, t,
+        binned.grad_base, row_off, pay, gg, t,
+        jnp.zeros((16, g_pad), jnp.float32),
     ),
-    payload, out, g, tchk,
+    payload, g, tchk,
 )
+
+from gsplat_tpu.ops.pallas.segsum import pad_pairs as segsum_pad_pairs
+
 
 def _exp_gather(dg):
     keep = binned.dest_of_exp >= 0
     q = jnp.where(keep, binned.dest_of_exp, ~binned.dest_of_exp)
-    return jnp.where(keep[None, :], dg[:10][:, q], 0.0)
+    rank_f = binned.exp_rank.astype(jnp.float32)
+    p_q = segsum_pad_pairs(budget)
+    if p_q != budget:
+        pad = p_q - budget
+        q = jnp.concatenate([q, jnp.zeros((pad,), jnp.int32)])
+        keep = jnp.concatenate([keep, jnp.zeros((pad,), bool)])
+        rank_f = jnp.concatenate([rank_f, jnp.full((pad,), -1.0, jnp.float32)])
+    d8 = jnp.where(keep[None, :], dg[0:8][:, q], 0.0)
+    daux = jnp.where(keep[None, :], dg[8:10][:, q], 0.0)
+    aux = jnp.concatenate([daux[0:1], rank_f[None, :]], axis=0)
+    return d8, aux
 
 
-d_exp = timeit("d_exp gather (grad space -> exp)", _exp_gather, d_grad)
+d8, aux = timeit("d_exp gather (grad space -> exp)", _exp_gather, d_grad)
 timeit(
     "segsum_by_splat",
-    lambda de: segsum_by_splat(de[:9], binned.exp_offsets, binned.exp_counts, False),
-    d_exp,
+    lambda a, b: segsum_by_splat(a, b, binned.exp_offsets, binned.exp_counts, False),
+    d8, aux,
 )

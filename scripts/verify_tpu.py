@@ -19,7 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 GRAD_FIELDS = ("pos", "orient", "scale", "opacity", "color", "sh")
 
 
-def verify(n: int = 4000, width: int = 256, height: int = 256) -> dict:
+def verify(n: int = 4000, width: int = 256, height: int = 256,
+           sharded: bool = False) -> dict:
     """Render pallas vs tiles on the default device; compare image + grads.
 
     Returns a dict with ``ok`` plus the measured diffs.  Tolerances follow
@@ -63,10 +64,8 @@ def verify(n: int = 4000, width: int = 256, height: int = 256) -> dict:
         b = np.asarray(getattr(g_p, f))
         grad_diff = max(grad_diff, float(np.abs(b - a).max() / max(1.0, np.abs(a).max())))
 
-    ok = bool(np.isfinite(img_diff) and np.isfinite(grad_diff)
-              and img_diff < 1e-5 and grad_diff < 2e-4)
-    return {
-        "ok": ok,
+    result = {
+        "ok": False,
         "backend": jax.default_backend(),
         "interpret": interpret,
         "img_max_abs_diff": img_diff,
@@ -74,9 +73,38 @@ def verify(n: int = 4000, width: int = 256, height: int = 256) -> dict:
         "n": n,
         "size": [width, height],
     }
+    ok = bool(np.isfinite(img_diff) and np.isfinite(grad_diff)
+              and img_diff < 1e-5 and grad_diff < 2e-4)
+
+    if sharded:
+        # Sharded-pallas sanity on the real chip: render_sharded on a
+        # 1-device mesh exercises the shard_map + strip-pallas branch
+        # (row_offset plumbing, per-strip budget) through the
+        # MOSAIC-compiled kernels — one device, so the image must equal the
+        # plain pallas render bit-for-bit.  Opt-in: the shard_map graph
+        # costs ~10 min of remote compile on the axon tunnel, too slow for
+        # every bench run (tests + dryrun cover the same branch in
+        # interpreter mode every round).
+        from gsplat_tpu.parallel.mesh import splat_mesh
+        from gsplat_tpu.parallel.render_sharded import render_sharded, shard_splats
+
+        mesh1 = splat_mesh(1)
+        backend_name = "pallas_interpret" if interpret else "pallas"
+        img_s = np.asarray(
+            render_sharded(
+                shard_splats(splats, mesh1), cam, cfg, mesh1, backend=backend_name
+            )
+        )
+        sharded_diff = float(np.abs(img_s - img_p).max())
+        result["sharded_pallas_max_abs_diff"] = sharded_diff
+        ok = ok and sharded_diff == 0.0
+
+    result["ok"] = ok
+    return result
 
 
 if __name__ == "__main__":
     import json
+    import sys as _sys
 
-    print(json.dumps(verify()))
+    print(json.dumps(verify(sharded="--sharded" in _sys.argv)))

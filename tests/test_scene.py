@@ -73,13 +73,30 @@ class TestRegistry:
         assert rid not in reg._entries
 
     def test_budget_cull(self):
+        # Partial-cluster clamp: the cluster crossing the cap still
+        # contributes its first budget − total splats — total drawn is
+        # exactly min(total, GSplatCountMax), the reference's
+        # myGSplatCount = std::min(...) (src/GSplatRenderer.C:364-366).
         cfg = dataclasses.replace(CFG, max_splats=50)
         reg = SceneRegistry(cfg)
+        b_splats = random_splats(jax.random.PRNGKey(1), 40, extent=0.5)
         ra = reg.register_update("sopA", random_splats(jax.random.PRNGKey(0), 40, extent=0.5))
-        rb = reg.register_update("sopB", random_splats(jax.random.PRNGKey(1), 40, extent=0.5))
+        rb = reg.register_update("sopB", b_splats)
         frame(reg, ra, rb)
         reg.generate_render_geometry()
-        assert reg._cached.count == 40  # second cluster culled
+        assert reg._cached.count == 50  # 40 + first 10 of the crossing cluster
+        # the clamped tail really is cluster B's head (origin-rebased)
+        origin = np.asarray(reg._origin)
+        np.testing.assert_allclose(
+            np.asarray(reg._cached.pos[:, 40:]) + origin[:, None],
+            np.asarray(b_splats.pos[:, :10]),
+            atol=1e-6,
+        )
+        # a fully over-budget third cluster is still dropped entirely
+        rc = reg.register_update("sopC", random_splats(jax.random.PRNGKey(2), 8))
+        frame(reg, ra, rb, rc)
+        reg.generate_render_geometry()
+        assert reg._cached.count == 50
 
     def test_geometry_cache_reused(self):
         reg = SceneRegistry(CFG)

@@ -144,6 +144,57 @@ class TestShardedTrain:
             b = np.asarray(getattr(p2, f))
             np.testing.assert_allclose(b, a, atol=1e-5, err_msg=f)
 
+    def test_sharded_step_with_renderer_scaling_features(self):
+        """The trainer rides the renderer's device-local path, so the
+        renderer's scaling features must hold in training too: with the
+        strip-compacted all_to_all exchange (sub-O(N)-per-device payload)
+        AND the bf16 payload policy, a sharded step still matches the
+        single-device step under the same policy."""
+        mesh = make_mesh(batch=2, splat=4)
+        cfg = dataclasses.replace(
+            CFG, strip_exchange_factor=0.75, payload_dtype="bfloat16"
+        )
+        cfg_single = dataclasses.replace(CFG, payload_dtype="bfloat16")
+        key = jax.random.PRNGKey(0)
+        splats = random_splats(key, 64, extent=0.6)
+        cam = make_camera([0.0, 0.3, 2.5], [0, 0, 0], 64, 128)  # H=4*32
+        perturbed = dataclasses.replace(
+            splats,
+            pos=splats.pos + 0.04 * jax.random.normal(jax.random.PRNGKey(9), (3, 64)),
+        )
+        params = params_from_splats(perturbed)
+
+        views = jnp.stack([cam.view, cam.view])
+        projs = jnp.stack([cam.proj, cam.proj])
+        timg = render_tiles(splats, cam, cfg_single)
+        target = (timg[..., :3] + (1.0 - timg[..., 3:4]))
+        targets = jnp.stack([target, target])
+
+        opt = optax.sgd(1e-2)
+        sharded_params = shard_params(params, mesh)
+        opt_state = opt.init(sharded_params)
+        step = make_sharded_train_step(
+            opt, cam, mesh, cfg, backend="tiles", lambda_dssim=0.0
+        )
+        p2, _, loss = step(sharded_params, opt_state, views, projs, targets)
+
+        def loss_single(p):
+            s = splats_from_params(p)
+            img = render_tiles(s, cam, cfg_single)
+            rgb = img[..., :3] + (1.0 - img[..., 3:4])
+            return l1_loss(rgb, target)
+
+        l_ref, g_ref = jax.value_and_grad(loss_single)(params)
+        opt_state_ref = opt.init(params)
+        upd, _ = opt.update(g_ref, opt_state_ref, params)
+        p_ref = optax.apply_updates(params, upd)
+
+        assert float(loss) == pytest.approx(float(l_ref), rel=1e-5)
+        for f in ("pos", "quat", "log_scale", "logit_opacity", "color", "sh"):
+            a = np.asarray(getattr(p_ref, f))
+            b = np.asarray(getattr(p2, f))
+            np.testing.assert_allclose(b, a, atol=1e-5, err_msg=f)
+
     def test_sharded_ssim_loss_matches_single(self):
         # Full 3DGS objective (λ=0.2) in sharded mode: the 11×11 SSIM
         # windows cross strip boundaries via the ppermute halo exchange, so
