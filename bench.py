@@ -25,6 +25,25 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--fwd-only", action="store_true")
+    ap.add_argument("--wireframe", action="store_true",
+                    help="bench the fused band-test wireframe pass (forward-only)")
+    ap.add_argument("--capacity", type=int, default=None,
+                    help="override tile_capacity (the per-tile composited-pair "
+                         "cap).  The 2^23 envelope needs ~16384: the default "
+                         "4096 truncates ~60%% of its pairs (reported in "
+                         "dropped_pairs — the reference's GL pipeline has no "
+                         "such cap, so an honest envelope number needs 0 drops)")
+    ap.add_argument("--chunk", type=int, default=None,
+                    help="compositing chunk size (multiple of 128).  The "
+                         "2^23 envelope wants 256: transmittance checkpoints "
+                         "are one (8,128) register per CHUNK per tile, so "
+                         "doubling the chunk halves checkpoint HBM — the "
+                         "difference between fitting the worst-tile-depth "
+                         "capacity (~21.5k pairs) and OOM")
+    ap.add_argument("--eps", type=float, default=None,
+                    help="override transmittance_eps (early-stop threshold; "
+                         "bounds the max per-pixel color error by eps — "
+                         "1e-3 is still < 1/4 of an 8-bit LSB)")
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--ply", default=None,
                     help="bench a real 3DGS point_cloud.ply instead of the synthetic scene")
@@ -54,11 +73,30 @@ def main():
         eye=[0.0, 0.4, 3.0], target=[0, 0, 0], width=args.width, height=args.height
     )
     cfg = gt.RenderConfig()
+    if args.chunk is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, chunk=args.chunk)
+    if args.capacity is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, tile_capacity=args.capacity)
+    if args.eps is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, transmittance_eps=args.eps)
+    if args.wireframe:
+        args.fwd_only = True
 
     backend = args.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() != "cpu" else "tiles"
 
+    if args.wireframe:
+        # the wireframe pass bins with the untight, line-grown footprint —
+        # the beauty counting pass would under-size its budget
+        args.no_tune = True
+        args.skip_parity = True
     if not args.no_tune:
         # Fit the static pair budget to the scene's measured pair count (one
         # cheap counting pass; overflow still warns + culls farthest).  The
@@ -69,8 +107,15 @@ def main():
         # counter below proves nothing was culled.
         cfg = gt.tune_pair_budget(splats, cam, cfg, headroom=1.02)
 
-    def fwd(s, c):
-        return gt.render(s, c, cfg, backend=backend)
+    if args.wireframe:
+        def fwd(s, c):
+            return gt.render_wireframe(
+                s, c, cfg,
+                backend="pallas" if backend in ("auto", "pallas") else backend,
+            )
+    else:
+        def fwd(s, c):
+            return gt.render(s, c, cfg, backend=backend)
 
     def fwd_bwd(s, c):
         def loss(s_):
@@ -115,16 +160,18 @@ def main():
     # Overflow counters as jit outputs (works on backends without host
     # callbacks): one untimed stats render proves the tuned budget dropped
     # nothing — the fps number is only honest at zero drops.
-    try:
-        _, stats = gt.render(splats, cam, cfg, backend=backend, with_stats=True)
-        dropped = int(stats.dropped_pairs)
-    except Exception:
-        dropped = None
+    dropped = None
+    if not args.wireframe:
+        try:
+            _, stats = gt.render(splats, cam, cfg, backend=backend, with_stats=True)
+            dropped = int(stats.dropped_pairs)
+        except Exception:
+            pass
 
     # On-chip correctness gate: the fps number is only meaningful if the
     # Mosaic-compiled kernels match the pure-XLA backend ON THIS DEVICE
     # (interpreter-mode tests can't catch a miscompile).
-    kind = "fwd" if args.fwd_only else "fwd+bwd"
+    kind = "wireframe fwd" if args.wireframe else ("fwd" if args.fwd_only else "fwd+bwd")
     result = {
         "metric": f"{args.splats//1000}k-splat {args.width}x{args.height} {kind} frames/sec/chip",
         "value": round(fps, 3),

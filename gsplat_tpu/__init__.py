@@ -18,7 +18,7 @@ from .ops.binning import RenderStats, report_stats
 from .ops.projection import ProjectedSplats, project_splats
 from .ops.rasterize_ref import render_reference
 from .ops.rasterize_tiles import depth_order, render_tiles
-from .ops.wireframe import render_wireframe
+from .ops.wireframe import render_wire_over, render_wireframe
 from .render import measure_pairs, render, render_pallas, tune_pair_budget
 from .scene import SceneRegistry
 from .io.ply import load_ply, save_ply
@@ -34,6 +34,7 @@ __all__ = [
     "render_tiles",
     "render_reference",
     "render_wireframe",
+    "render_wire_over",
     "__version__",
     "Camera",
     "make_camera",

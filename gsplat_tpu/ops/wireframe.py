@@ -129,3 +129,37 @@ def _wireframe_pallas(
             [jnp.where(covered, img[..., :3], bg), img[..., 3:4]], axis=-1
         )
     return img
+
+
+def render_wire_over(
+    splats: GaussianSplats,
+    camera: Camera,
+    config: RenderConfig = RenderConfig(),
+    line_px: float = 1.0,
+    backend: str = "auto",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Wire-over-shaded: quad outlines drawn ON TOP of the beauty pass.
+
+    The reference draws the line quads during the native geometry pass and
+    the global splat composite then runs with the fixed-function under
+    operator ``(ONE_MINUS_DST_ALPHA, ONE)`` — a line pixel enters the blend
+    with destination alpha already saturated, so splat contributions are
+    scaled by ``1 − wire.a`` there and the lines stay fully visible
+    (``gsplat_plugin/src/GR_GSplat.C:474-483`` draws the lines;
+    ``src/GSplatRenderer.C:605-647`` composites the splats after).  Exactly
+    that algebra: ``out = wire + beauty · (1 − wire.a)``.
+
+    Returns (H, W, 4) premultiplied RGBA.
+    """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() != "cpu" else "tiles"
+    wire_backend = "pallas" if backend in ("pallas", "pallas_interpret") else "reference"
+    from ..render import render  # local import: render imports wireframe's siblings
+
+    wire = render_wireframe(
+        splats, camera, config, line_px=line_px, backend=wire_backend,
+        interpret=interpret or backend == "pallas_interpret",
+    )
+    beauty = render(splats, camera, config, backend=backend)
+    return wire + beauty * (1.0 - wire[..., 3:4])

@@ -6,5 +6,5 @@ logs once per process like the reference does in
 ``gsplat_plugin/src/GSplatRenderer.C:234``.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 REFERENCE_VERSION = "1.4.1"

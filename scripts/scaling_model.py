@@ -1,0 +1,211 @@
+"""SCALING_r04: exact distribution model + virtual-mesh wall-clock floor.
+
+Only one real TPU chip exists in this container, so multi-chip efficiency
+cannot be *measured* — but the quantities that determine it CAN be computed
+exactly without hardware, per device and per frame:
+
+* bytes-on-wire of the payload collective (all_gather vs the strip-compacted
+  all_to_all, under the fp32 and bf16 payload policies);
+* per-device post-exchange payload columns (= HBM for the replicated buffer
+  and the size of the per-device depth sort);
+* per-device (tile, splat) pair count for the device's strip (the fused
+  kernels + every pair-proportional gather/sort scale with this);
+* the strip-exchange factor picked by ``tune_strip_exchange``'s measured
+  worst (shard, strip) overlap for this scene.
+
+The per-device work fractions show which terms scale 1/d (projection,
+binning, compositing, pairs) and which the all_gather path replicates (sort,
+payload memory) — and how the strip exchange converts the replicated terms
+to ~factor·N.  A virtual 8-device CPU mesh wall clock is appended as a
+sanity floor only (all devices timeshare one host: speedup there is
+meaningless, correctness of the distributed graph is what it checks).
+
+Usage: python scripts/scaling_model.py [--out SCALING_r04.json]
+"""
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+os.environ["XLA_FLAGS"] = (
+    "--xla_force_host_platform_device_count=8 " + os.environ.get("XLA_FLAGS", "")
+)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+
+FP32_COL_BYTES = 16 * 4          # (16, N) fp32 field matrix
+BF16_COL_BYTES = 10 * 2 + 6 * 4  # 10 payload rows bf16 + 6 geometry rows fp32
+
+
+def model_for(splats, cam, d, cfg):
+    import gsplat_tpu as gt
+    from gsplat_tpu.ops.binning import count_pairs
+    from gsplat_tpu.ops.projection import project_splats
+    from gsplat_tpu.ops.rasterize_ref import quantize_payload, sanitize_projected
+    from gsplat_tpu.parallel.mesh import pad_to_multiple
+    from gsplat_tpu.parallel.render_sharded import (
+        measure_strip_counts,
+        tune_strip_exchange,
+    )
+
+    n = pad_to_multiple(splats.count, d)
+    n_local = n // d
+    h_pad = pad_to_multiple(cam.height, d * cfg.tile_h)
+    strip_h = h_pad // d
+
+    # exact per-strip pair counts (the sharded kernels' work)
+    p = quantize_payload(
+        sanitize_projected(
+            project_splats(splats, cam, cfg.sh_order, tight_footprint=True)
+        ),
+        cfg,
+    )
+    strip_pairs = [
+        int(count_pairs(p, cam.width, strip_h, cfg,
+                        row_offset=s * (strip_h // cfg.tile_h)))
+        for s in range(d)
+    ]
+    total_pairs = int(count_pairs(p, cam.width, cam.height, cfg))
+
+    counts = measure_strip_counts(splats, cam, d, cfg)
+    tuned = tune_strip_exchange(splats, cam, d, cfg)
+    factor = tuned.strip_exchange_factor
+    bucket = int(np.ceil(factor * n_local)) if factor > 0 else None
+
+    def wire(cols, col_bytes):
+        # bytes RECEIVED per device over ICI (sends are symmetric)
+        return (d - 1) * cols * col_bytes
+
+    row = {
+        "devices": d,
+        "splats_padded": n,
+        "per_device_projected_splats": n_local,
+        "strip_h_px": strip_h,
+        "total_pairs": total_pairs,
+        "per_device_pairs_max": max(strip_pairs),
+        "per_device_pairs_mean": sum(strip_pairs) / d,
+        "pair_parallel_efficiency": total_pairs / (d * max(strip_pairs))
+        if max(strip_pairs) else 1.0,
+        "all_gather": {
+            "wire_bytes_per_device_fp32": wire(n_local, FP32_COL_BYTES),
+            "wire_bytes_per_device_bf16": wire(n_local, BF16_COL_BYTES),
+            "post_exchange_columns_per_device": n,
+            "replicated_sort_n": n,
+        },
+        "strip_exchange": None,
+    }
+    if bucket is not None:
+        row["strip_exchange"] = {
+            "tuned_factor": factor,
+            "bucket_columns": bucket,
+            "measured_worst_shard_strip_overlap": int(counts.max()),
+            "wire_bytes_per_device_fp32": wire(bucket, FP32_COL_BYTES),
+            "wire_bytes_per_device_bf16": wire(bucket, BF16_COL_BYTES),
+            "post_exchange_columns_per_device": d * bucket,
+            "per_device_sort_n": d * bucket,
+            "vs_all_gather_wire": (d - 1) * bucket / max((d - 1) * n_local, 1),
+            "vs_all_gather_sort": d * bucket / n,
+        }
+    else:
+        row["strip_exchange"] = {
+            "tuned_factor": 0.0,
+            "note": "worst strip share too large at this d — exchange would "
+                    "ship ~as many columns as all_gather; tuner keeps the "
+                    "all_gather path",
+        }
+    return row
+
+
+def wallclock_floor(iters=4):
+    import gsplat_tpu as gt
+    from gsplat_tpu.parallel.mesh import splat_mesh
+    from gsplat_tpu.parallel.render_sharded import (
+        pad_splats,
+        render_sharded,
+        shard_splats,
+        tune_strip_exchange,
+    )
+
+    cfg = gt.RenderConfig(tile_capacity=2048, pairs_per_splat=6.0)
+    cam = gt.make_camera(eye=[0.0, 0.4, 3.0], target=[0, 0, 0], width=256, height=512)
+    splats = gt.random_splats(
+        jax.random.PRNGKey(0), 65536, extent=1.0,
+        scale_range=(0.004, 0.02), sh_scale=0.1,
+    )
+    rows = []
+    base = None
+    for d in (1, 2, 4, 8):
+        mesh = splat_mesh(d)
+        c = tune_strip_exchange(splats, cam, d, cfg) if d > 1 else cfg
+        sharded = shard_splats(splats, mesh)
+        f = jax.jit(lambda s: render_sharded(s, cam, c, mesh, backend="tiles"))
+        img = f(sharded)
+        img.block_until_ready()
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            f(sharded).block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        med = statistics.median(ts)
+        if base is None:
+            base = med
+        rows.append(
+            {
+                "devices": d,
+                "strip_exchange_factor": getattr(c, "strip_exchange_factor", 0.0),
+                "median_s": round(med, 4),
+                "speedup": round(base / med, 3),
+            }
+        )
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="SCALING_r04.json")
+    args = ap.parse_args()
+
+    import gsplat_tpu as gt
+
+    cam = gt.make_camera(
+        eye=[0.0, 0.4, 3.0], target=[0, 0, 0], width=1920, height=1080
+    )
+    out = {
+        "metric": "sharded-render distribution model (exact, per device per frame)",
+        "payload_bytes_per_column": {"fp32": FP32_COL_BYTES, "bf16": BF16_COL_BYTES},
+        "scenes": [],
+        "note": "wire bytes / sort sizes / pair counts are exact for the "
+                "bench scene+camera; the >=70% multi-host efficiency target "
+                "needs the per-device pair share (pair_parallel_efficiency) "
+                "and the collective bytes to stay small vs per-device "
+                "compute — both reported here per device count.",
+    }
+    for n_splats in (1_000_000, 8_388_608):
+        splats = gt.random_splats(
+            jax.random.PRNGKey(0), n_splats, extent=1.2,
+            scale_range=(0.002, 0.01), sh_scale=0.1,
+        )
+        cfg = gt.RenderConfig()
+        scene = {"splats": n_splats, "resolution": [1920, 1080], "by_devices": []}
+        for d in (2, 8, 32):
+            scene["by_devices"].append(model_for(splats, cam, d, cfg))
+        out["scenes"].append(scene)
+
+    out["virtual_mesh_wallclock_floor"] = wallclock_floor()
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"written": args.out}))
+
+
+if __name__ == "__main__":
+    main()

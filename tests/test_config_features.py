@@ -329,3 +329,83 @@ def test_warn_on_drop_false_is_silent(caplog):
         jax.block_until_ready(img)
         jax.effects_barrier()
     assert not any("dropped" in r.message for r in caplog.records)
+
+
+def test_stats_warn_without_callbacks(caplog, monkeypatch):
+    """The callback-free overflow transport: on backends where host
+    callbacks are impossible (axon TPU, multi-process), the drop counters
+    ride out of the jitted render as ordinary outputs (``with_stats``) and
+    ``report_stats`` warns host-side — once per condition, with re-arm."""
+    from gsplat_tpu.ops import binning
+    from gsplat_tpu.utils.logging import get_logger
+
+    # axon-like environment: host callbacks unavailable
+    monkeypatch.setattr(binning, "_backend_supports_callbacks", lambda: False)
+    get_logger("binning").reset_once("dropped_pairs")
+
+    splats, cam = _scene(n=256)
+    big = gt.GaussianSplats(
+        pos=splats.pos,
+        orient=splats.orient,
+        scale=jnp.full_like(splats.scale, 0.5),
+        opacity=jnp.ones_like(splats.opacity),
+        color=splats.color,
+        sh=splats.sh,
+    )
+    cfg = gt.RenderConfig(pairs_per_splat=0.1)
+    with caplog.at_level(logging.WARNING, logger="gsplat_tpu.binning"):
+        img, stats = gt.render(big, cam, cfg, backend="tiles", with_stats=True)
+        jax.block_until_ready(img)
+    # the async-callback path was disabled: nothing logged yet
+    assert not any("dropped" in r.message for r in caplog.records)
+    assert int(stats.dropped_pairs) > 0
+    assert stats.any_dropped_host()
+
+    with caplog.at_level(logging.WARNING, logger="gsplat_tpu.binning"):
+        gt.report_stats(stats, cfg)
+    assert any("dropped" in r.message for r in caplog.records)
+
+    # once-per-condition + re-arm on a clean frame
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="gsplat_tpu.binning"):
+        gt.report_stats(stats, cfg)
+    assert not any("dropped" in r.message for r in caplog.records)
+    _, clean = gt.render(
+        splats, cam, gt.RenderConfig(pairs_per_splat=8.0),
+        backend="tiles", with_stats=True,
+    )
+    gt.report_stats(clean, cfg)  # zero drops -> re-arms
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="gsplat_tpu.binning"):
+        gt.report_stats(stats, cfg)
+    assert any("dropped" in r.message for r in caplog.records)
+
+
+def test_scene_registry_reports_previous_frame_stats(caplog, monkeypatch):
+    """SceneRegistry carries the overflow counters as jit outputs and
+    reports them host-side at the start of the NEXT frame (no per-frame
+    device sync) — with the callback path disabled, like on the axon TPU."""
+    from gsplat_tpu.ops import binning
+    from gsplat_tpu.utils.logging import get_logger
+
+    monkeypatch.setattr(binning, "_backend_supports_callbacks", lambda: False)
+    get_logger("binning").reset_once("dropped_pairs")
+    splats, cam = _scene(n=256)
+    big = gt.GaussianSplats(
+        pos=splats.pos,
+        orient=splats.orient,
+        scale=jnp.full_like(splats.scale, 0.5),
+        opacity=jnp.ones_like(splats.opacity),
+        color=splats.color,
+        sh=splats.sh,
+    )
+    reg = gt.SceneRegistry(gt.RenderConfig(pairs_per_splat=0.1))
+    rid = reg.register_update("sop", big)
+    reg.include_in_render_pass(rid)
+    with caplog.at_level(logging.WARNING, logger="gsplat_tpu.binning"):
+        reg.render(cam, backend="tiles")  # frame 1: stats captured
+        assert reg._last_stats is not None
+        reg.post_render()
+        reg.include_in_render_pass(rid)
+        reg.render(cam, backend="tiles")  # frame 2: frame 1's stats reported
+    assert any("dropped" in r.message for r in caplog.records)

@@ -9,6 +9,7 @@ over the perturbed start.
 """
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,15 @@ def heavy_tailed_scene(n=800, seed=0):
     return gt.make_splats(pos, q, scale, opacity, color, sh)
 
 
+import pytest
+
+
+@pytest.mark.skipif(
+    not os.environ.get("GSPLAT_RUN_SLOW"),
+    reason="~5 min of CPU optimization; quality is also gated by "
+    "TestFit's loss-decrease checks — set GSPLAT_RUN_SLOW=1 to run "
+    "the full PSNR fit",
+)
 def test_ply_fit_psnr(tmp_path):
     scene = heavy_tailed_scene()
     ply = tmp_path / "scene.ply"

@@ -139,55 +139,38 @@ class TestShardedPallas:
     under ``shard_map`` — executed through the Pallas interpreter on the CPU
     mesh: strip binning with a nonzero ``row_offset`` feeding the kernel's
     ``yoff_ref``, per-strip pair budgets, and the custom-VJP backward (grad
-    address space + segment reduce) inside a sharded gradient."""
+    address space + segment reduce) inside a sharded gradient.  One test,
+    one small scene: interpret-mode execution costs minutes per compiled
+    graph, so image parity, row-offset correctness, and gradients share the
+    same two compilations."""
 
-    def test_matches_tiles_and_single_device(self):
-        splats, cam = scene(n=96, w=64, h=64)
+    def test_sharded_pallas_interpret_parity_and_grads(self):
+        splats, cam = scene(n=48, w=64, h=64)
+        cfg = RenderConfig(tile_capacity=256, transmittance_eps=0.0)
         mesh = splat_mesh(2)  # 2 strips of 32 px → row_offset 0 and 1
-        sharded = shard_splats(splats, mesh)
-        img_p = np.asarray(
-            render_sharded(sharded, cam, CFG, mesh, backend="pallas_interpret")
-        )
-        img_t = np.asarray(
-            render_sharded(sharded, cam, CFG, mesh, backend="tiles")
-        )
-        np.testing.assert_allclose(img_p, img_t, atol=1e-5)
-        # and against the single-device pallas render (same kernels, no mesh)
-        from gsplat_tpu.render import render_pallas
-
-        img_1 = np.asarray(
-            render_pallas(pad_splats(splats, 2), cam, CFG, interpret=True)
-        )
-        np.testing.assert_allclose(img_p, img_1, atol=1e-5)
-
-    def test_row_offset_is_load_bearing(self):
-        """A strip rendered at row_offset r must differ from the same strip
-        binned at offset 0 whenever content differs between the bands — the
-        regression trap for the kernel's ``yoff_ref`` plumbing."""
-        splats, cam = scene(n=96, w=64, h=64)
-        mesh = splat_mesh(2)
-        sharded = shard_splats(splats, mesh)
-        img = np.asarray(
-            render_sharded(sharded, cam, CFG, mesh, backend="pallas_interpret")
-        )
-        # bottom strip (rows 32..64, rendered with row_offset=1) must match
-        # the full-frame render's bottom rows, not its top rows
-        full = np.asarray(render_tiles(pad_splats(splats, 2), cam, CFG))
-        np.testing.assert_allclose(img[32:], full[32:], atol=1e-5)
-        assert not np.allclose(full[32:], full[:32], atol=1e-3)
-
-    def test_grads_through_sharded_pallas(self):
-        splats, cam = scene(n=64, w=64, h=64)
-        mesh = splat_mesh(2)
         sharded = shard_splats(splats, mesh)
         w = jax.random.normal(jax.random.PRNGKey(5), (64, 64, 3))
 
         def loss(s, backend):
-            img = render_sharded(s, cam, CFG, mesh, backend=backend)
-            return jnp.sum(img[..., :3] * w)
+            img = render_sharded(s, cam, cfg, mesh, backend=backend)
+            return jnp.sum(img[..., :3] * w), img
 
-        g_p = jax.grad(lambda s: loss(s, "pallas_interpret"))(sharded)
-        g_t = jax.grad(lambda s: loss(s, "tiles"))(sharded)
+        (_, img_p), g_p = jax.value_and_grad(
+            lambda s: loss(s, "pallas_interpret"), has_aux=True
+        )(sharded)
+        (_, img_t), g_t = jax.value_and_grad(
+            lambda s: loss(s, "tiles"), has_aux=True
+        )(sharded)
+        img_p, img_t = np.asarray(img_p), np.asarray(img_t)
+        np.testing.assert_allclose(img_p, img_t, atol=1e-5)
+        # row_offset is load-bearing: the bottom strip (rendered with
+        # row_offset=1) must match the full-frame render's bottom rows,
+        # which differ from its top rows
+        full = np.asarray(render_tiles(pad_splats(splats, 2), cam, cfg))
+        np.testing.assert_allclose(img_p[32:], full[32:], atol=1e-5)
+        assert not np.allclose(full[32:], full[:32], atol=1e-3)
+        # gradients through the sharded pallas VJP (grad address space +
+        # segment reduce under shard_map)
         for f in ("pos", "orient", "scale", "opacity", "color", "sh"):
             a = np.asarray(getattr(g_t, f))
             b = np.asarray(getattr(g_p, f))

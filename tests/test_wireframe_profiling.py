@@ -99,3 +99,48 @@ class TestProfiling:
         x = jax.numpy.ones((8, 8))
         r = measure_fps(f, x, iters=3, warmup=1)
         assert r["fps"] > 0
+
+
+class TestWireOver:
+    def test_wire_over_shaded_composites_under_lines(self):
+        """Wire-over-shaded = reference's two-pass frame: lines opaque on
+        top, beauty blended under with (1 − wire.a) — verified against
+        manual composition of the two standalone renders, and both content
+        types must be present."""
+        import numpy as np
+
+        import gsplat_tpu as gt
+
+        splats = gt.random_splats(jax.random.PRNGKey(2), 64, extent=0.7)
+        cam = gt.make_camera(eye=[0.1, 0.3, 2.6], target=[0, 0, 0], width=96, height=96)
+        cfg = gt.RenderConfig(tile_capacity=512, transmittance_eps=0.0)
+        out = np.asarray(
+            gt.render_wire_over(splats, cam, cfg, backend="tiles")
+        )
+        wire = np.asarray(
+            gt.render_wireframe(splats, cam, cfg, backend="reference")
+        )
+        beauty = np.asarray(gt.render(splats, cam, cfg, backend="tiles"))
+        np.testing.assert_allclose(
+            out, wire + beauty * (1.0 - wire[..., 3:4]), atol=1e-6
+        )
+        line = wire[..., 3] >= 1.0
+        assert line.any()
+        # line pixels show the line color, untouched by the beauty pass
+        np.testing.assert_array_equal(out[line], wire[line])
+        # non-line pixels are exactly the beauty pass
+        np.testing.assert_array_equal(out[~line], beauty[~line])
+
+    def test_wire_over_pallas_interpret_matches(self):
+        import numpy as np
+
+        import gsplat_tpu as gt
+
+        splats = gt.random_splats(jax.random.PRNGKey(2), 48, extent=0.7)
+        cam = gt.make_camera(eye=[0.1, 0.3, 2.6], target=[0, 0, 0], width=64, height=64)
+        cfg = gt.RenderConfig(tile_capacity=512, transmittance_eps=0.0)
+        a = np.asarray(
+            gt.render_wire_over(splats, cam, cfg, backend="pallas_interpret")
+        )
+        b = np.asarray(gt.render_wire_over(splats, cam, cfg, backend="tiles"))
+        np.testing.assert_allclose(a, b, atol=1e-5)
