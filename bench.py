@@ -34,7 +34,8 @@ def main():
                          "dropped_pairs — the reference's GL pipeline has no "
                          "such cap, so an honest envelope number needs 0 drops)")
     ap.add_argument("--chunk", type=int, default=None,
-                    help="compositing chunk size (multiple of 128).  The "
+                    help="compositing chunk size (a multiple of 8 that "
+                         "divides tile_capacity; swept values 64/128/256).  The "
                          "2^23 envelope wants 256: transmittance checkpoints "
                          "are one (8,128) register per CHUNK per tile, so "
                          "doubling the chunk halves checkpoint HBM — the "
@@ -165,8 +166,10 @@ def main():
         try:
             _, stats = gt.render(splats, cam, cfg, backend=backend, with_stats=True)
             dropped = int(stats.dropped_pairs)
-        except Exception:
-            pass
+        except Exception as e:
+            # surface, don't hide: a null dropped_pairs must be explained
+            print(f"stats render failed: {type(e).__name__}: {e}", file=sys.stderr)
+            dropped = f"error: {type(e).__name__}"
 
     # On-chip correctness gate: the fps number is only meaningful if the
     # Mosaic-compiled kernels match the pure-XLA backend ON THIS DEVICE

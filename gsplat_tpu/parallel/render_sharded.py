@@ -267,12 +267,13 @@ def exchange_projected(
     d: int,
     config: RenderConfig,
     axis: str,
-) -> ProjectedSplats:
+) -> "tuple[ProjectedSplats, object]":
     """Collect every strip-relevant projected field column on this device.
 
-    ``p`` is this device's sanitized+quantized projected shard; returns the
-    (16, ·) fields every splat overlapping the local strip, in global
-    storage order.  Three policies, chosen by ``config`` (shared by the
+    ``p`` is this device's sanitized+quantized projected shard; returns
+    ``(fields, exchange_dropped)``: the (16, ·) fields of every splat
+    overlapping the local strip, in global storage order, plus the bucket
+    overflow counter.  Three policies, chosen by ``config`` (shared by the
     sharded renderer AND the sharded trainer so both speak the same
     collective / precision dialect):
 

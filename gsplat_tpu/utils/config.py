@@ -152,6 +152,11 @@ class RenderConfig:
     def __post_init__(self):
         if not 0 <= self.sh_order <= 3:
             raise ValueError(f"sh_order must be in [0,3], got {self.sh_order}")
+        if self.chunk % 8 != 0:
+            # The backward gradient walk runs in groups of GUNROLL = 8 pairs
+            # (== PACK_SUB, the store-alignment unit); a non-multiple chunk
+            # would silently skip the trailing chunk % 8 pairs per chunk.
+            raise ValueError("chunk must be a multiple of 8")
         if self.tile_capacity % self.chunk != 0:
             raise ValueError("tile_capacity must be a multiple of chunk")
         if self.payload_dtype not in ("float32", "bfloat16"):
