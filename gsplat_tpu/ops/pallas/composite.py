@@ -95,6 +95,92 @@ N_ROWS_IN = 6      # per-pair rows the backward kernel actually emits into
                    # the only lever
 
 
+P_ROWS_PACKED = 8  # packed-mode payload rows: [cx cy ax ay bx by (r,g) (b,op)]
+G_ROWS_PACKED = 8  # packed-mode gradient rows: [t1 t2 xx xy yy cr (cg,cb) r0]
+
+
+@jax.custom_vjp
+def round_bf16(x: jnp.ndarray) -> jnp.ndarray:
+    """f32 → bf16-rounded f32 via INTEGER round-to-nearest-even on the bit
+    pattern, with a STRAIGHT-THROUGH gradient (identity VJP — the same
+    gradient ``astype(bf16).astype(f32)`` has; without it the integer
+    bitcasts silently ZERO every gradient flowing through the rounding,
+    which fake-passed parity because both backends zeroed identically).  The obvious ``astype(bf16).astype(f32)`` is NOT used because
+    XLA:TPU compiles with ``--xla_allow_excess_precision=true`` here, which
+    lets the optimizer elide the precision-reducing convert pair entirely —
+    leaving unrounded floats whose low mantissa bits then corrupt the
+    pairwise bit-pack (caught on-chip: hi halves off by one bf16 LSB, lo
+    halves ORed with hi's residual bits).  Integer ops cannot be
+    excess-precision-elided, and the same helper quantizes every backend,
+    so parity is preserved bit-for-bit.  Exact for finite inputs (the
+    sanitize contract); the bit-bias carry can only reach the sign bit from
+    exponent 0xFE, i.e. values ≥ 2^127, which sanitized payloads exclude."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    lsb = jax.lax.shift_right_logical(bits, 16) & 1
+    rounded = (bits + 0x7FFF + lsb) & jnp.int32(-65536)
+    return jax.lax.bitcast_convert_type(rounded, jnp.float32)
+
+
+def _round_bf16_fwd(x):
+    return round_bf16(x), None
+
+
+def _round_bf16_bwd(_, g):
+    return (g,)
+
+
+round_bf16.defvjp(_round_bf16_fwd, _round_bf16_bwd)
+
+
+def pack2(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """Bit-pack two f32 arrays, bf16-ROUNDING each (see :func:`round_bf16`;
+    idempotent on already-rounded values): ``hi``'s top 16 bits (== its bf16
+    encoding) in the high half, ``lo``'s in the low half.  Returns INT32 —
+    packed words must never travel as f32: when the hi half is 0.0 the f32
+    bit pattern is a denormal, and XLA:TPU flushes denormals to zero in
+    fused FP paths (caught on-chip: every pair with r == 0 lost its g
+    bits).  Integer arrays are immune.  Exact round-trip with
+    :func:`unpack2`."""
+    hb = jax.lax.bitcast_convert_type(round_bf16(hi), jnp.int32)
+    lb = jax.lax.bitcast_convert_type(round_bf16(lo), jnp.int32)
+    return hb | jax.lax.shift_right_logical(lb, 16)
+
+
+def unpack2(bits: jnp.ndarray):
+    """Inverse of :func:`pack2`: one int32 array → (hi, lo) f32 arrays."""
+    hi = jax.lax.bitcast_convert_type(bits & jnp.int32(-65536), jnp.float32)
+    lo = jax.lax.bitcast_convert_type(
+        jax.lax.shift_left(bits, jnp.full(bits.shape, 16, jnp.int32)),
+        jnp.float32,
+    )
+    return hi, lo
+
+
+def _unpack_scalar(v):
+    """Kernel-side :func:`unpack2` of one packed SMEM int32 scalar → two
+    (8, 128) f32 vectors.  Mosaic has no scalar bitcast ('tpu.bitcast' is
+    vector-only), so the scalar is broadcast FIRST (native scalar→vector
+    move) and the bit surgery runs on vregs — bitcasts are register
+    reinterprets, so the per-field cost is one broadcast + two int vreg ops."""
+    vv = jnp.full((PACK_SUB, PACK_LANES), v, jnp.int32)
+    return unpack2(vv)
+
+
+def _scalar_f32(v):
+    """Kernel-side int32 SMEM scalar (a bitcast f32 geometry field of the
+    packed payload) → (8, 128) f32 vector: broadcast then vector bitcast."""
+    vv = jnp.full((PACK_SUB, PACK_LANES), v, jnp.int32)
+    return jax.lax.bitcast_convert_type(vv, jnp.float32)
+
+
+def _payload_rows(config) -> int:
+    return P_ROWS_PACKED if config.payload_dtype == "packed" else C_PAD
+
+
+def _grad_rows(config) -> int:
+    return G_ROWS_PACKED if config.payload_dtype == "packed" else C_PAD
+
+
 def _pixel_coords(ty, tx):
     """Pixel-center coordinates of tile (ty, tx) — ty in *global* screen tile
     rows (strip renders pass program row + row_offset) — packed (8, 128)."""
@@ -109,7 +195,7 @@ def _pixel_coords(ty, tx):
 
 def _splat_alpha(
     buf, slot, i, px, py, max_alpha, soft_cutoff, valid,
-    wireframe=False, line_px=1.0,
+    wireframe=False, line_px=1.0, packed=False, op_in=None,
 ):
     """One splat's (8, 128) alpha from scalar SMEM fields.
 
@@ -122,14 +208,36 @@ def _splat_alpha(
     ``GSplatShaderSource.h:22-110``): α = 1 within ``line_px`` of the ±2
     extent (band half-width converted to quad units per axis via |A|, |B|),
     0 elsewhere — front-to-back compositing then gives "nearest splat wins".
+
+    ``packed``: the 8-row payload layout — opacity is the low half of packed
+    row 7 (an (8, 128) vector after :func:`_unpack_scalar`; every use below
+    is a vector context, so scalar-vs-vector op is transparent).  ``op_in``
+    lets a caller that already unpacked row 7 (the forward loop needs b too)
+    pass the opacity in, avoiding a second unpack.
     """
-    cx = buf[slot, 0, i]
-    cy = buf[slot, 1, i]
-    ax = buf[slot, 2, i]
-    ay = buf[slot, 3, i]
-    bx = buf[slot, 4, i]
-    by = buf[slot, 5, i]
-    op = jnp.where(valid, buf[slot, 9, i], 0.0)
+    if packed:
+        # int32 payload: geometry fields are bitcast f32 words (packed
+        # words must not travel as f32 — denormal flush; see pack2).
+        cx = _scalar_f32(buf[slot, 0, i])
+        cy = _scalar_f32(buf[slot, 1, i])
+        ax = _scalar_f32(buf[slot, 2, i])
+        ay = _scalar_f32(buf[slot, 3, i])
+        bx = _scalar_f32(buf[slot, 4, i])
+        by = _scalar_f32(buf[slot, 5, i])
+    else:
+        cx = buf[slot, 0, i]
+        cy = buf[slot, 1, i]
+        ax = buf[slot, 2, i]
+        ay = buf[slot, 3, i]
+        bx = buf[slot, 4, i]
+        by = buf[slot, 5, i]
+    if op_in is not None:
+        op_raw = op_in
+    elif packed:
+        _, op_raw = _unpack_scalar(buf[slot, 7, i])
+    else:
+        op_raw = buf[slot, 9, i]
+    op = jnp.where(valid, op_raw, 0.0)
     dx = px - cx
     dy = py - cy
     qx = dx * ax + dy * ay
@@ -174,6 +282,7 @@ def _fwd_kernel(
     checkpoint: bool,
     wireframe: bool,
     line_px: float,
+    packed: bool,
 ):
     if checkpoint:
         tchk_ref, buf, sem = rest  # (1, 1, max_chunks, 8, 128) VMEM block
@@ -233,13 +342,21 @@ def _fwd_kernel(
             acc_r, acc_g, acc_b, t_cur = s
             i0 = k * UNROLL
             alphas = []
+            colors = []
             for u in range(UNROLL):
                 pos = pos0 + i0 + u
                 valid = jnp.logical_and(pos >= phi, pos < span)
+                if packed:
+                    rv, gv = _unpack_scalar(buf[slot, 6, i0 + u])
+                    bv, opv = _unpack_scalar(buf[slot, 7, i0 + u])
+                    colors.append((rv, gv, bv))
+                    op_in = opv
+                else:
+                    op_in = None
                 alphas.append(
                     _splat_alpha(
                         buf, slot, i0 + u, px, py, max_alpha, soft_cutoff,
-                        valid, wireframe, line_px,
+                        valid, wireframe, line_px, packed, op_in,
                     )[0]
                 )
             prefixes = []
@@ -250,9 +367,15 @@ def _fwd_kernel(
             for u in range(UNROLL):
                 i = i0 + u
                 w = alphas[u] * prefixes[u]
-                acc_r = acc_r + w * buf[slot, 6, i]
-                acc_g = acc_g + w * buf[slot, 7, i]
-                acc_b = acc_b + w * buf[slot, 8, i]
+                if packed:
+                    rv, gv, bv = colors[u]
+                else:
+                    rv = buf[slot, 6, i]
+                    gv = buf[slot, 7, i]
+                    bv = buf[slot, 8, i]
+                acc_r = acc_r + w * rv
+                acc_g = acc_g + w * gv
+                acc_b = acc_b + w * bv
             return acc_r, acc_g, acc_b, t_run
 
         acc_r, acc_g, acc_b, t_cur = jax.lax.fori_loop(
@@ -313,6 +436,7 @@ def _bwd_kernel(
     max_chunks: int,
     max_alpha: float,
     soft_cutoff: bool,
+    packed: bool,
 ):
     """Backward: division-free two-pass replay with MXU-batched reductions.
 
@@ -436,7 +560,8 @@ def _bwd_kernel(
                 valid = jnp.logical_and(pos >= phi, pos < span)
                 alphas.append(
                     _splat_alpha(
-                        buf, slot, i0 + u, px, py, max_alpha, soft_cutoff, valid
+                        buf, slot, i0 + u, px, py, max_alpha, soft_cutoff,
+                        valid, packed=packed,
                     )[0]
                 )
             for u in range(UNROLL):
@@ -483,9 +608,13 @@ def _bwd_kernel(
             #   u' = u + α·(K_i − u)
             # (both exact rewrites of the division-free identities in the
             # docstring; (K_i − u) is shared) — 9 VPU ops/pair instead of 22.
-            r = buf[slot, 6, i]
-            g = buf[slot, 7, i]
-            b = buf[slot, 8, i]
+            if packed:
+                r, g = _unpack_scalar(buf[slot, 6, i])
+                b, _ = _unpack_scalar(buf[slot, 7, i])
+            else:
+                r = buf[slot, 6, i]
+                g = buf[slot, 7, i]
+                b = buf[slot, 8, i]
             alpha = asplat[i]
             t_i = tsplat[i]
             w_i = alpha * t_i
@@ -556,20 +685,44 @@ def _bwd_kernel(
         rv = raw[3:4]
         ruv = raw[4:5]
         rvv = raw[5:6]
-        cxl = vbuf[slot, 0:1, :] - (tx * TILE)   # (1, chunk) local centers
-        cyl = vbuf[slot, 1:2, :] - (tyg * TILE)
+        if packed:
+            cxv = jax.lax.bitcast_convert_type(vbuf[slot, 0:1, :], jnp.float32)
+            cyv = jax.lax.bitcast_convert_type(vbuf[slot, 1:2, :], jnp.float32)
+        else:
+            cxv = vbuf[slot, 0:1, :]
+            cyv = vbuf[slot, 1:2, :]
+        cxl = cxv - (tx * TILE)   # (1, chunk) local centers
+        cyl = cyv - (tyg * TILE)
         t1 = ru - cxl * r0
         t2 = rv - cyl * r0
-        dbuf[oslot, 0:1, :] = t1
-        dbuf[oslot, 1:2, :] = t2
-        dbuf[oslot, 2:3, :] = ruu - cxl * (ru + t1)          # Σdp2·dx²
-        dbuf[oslot, 3:4, :] = ruv - cxl * rv - cyl * t1      # Σdp2·dxdy
-        dbuf[oslot, 4:5, :] = rvv - cyl * (rv + t2)          # Σdp2·dy²
-        dbuf[oslot, 5:8, :] = raw[6:9]
-        dbuf[oslot, 8:9, :] = r0
-        dbuf[oslot, N_SUMS:C_PAD, :] = jnp.zeros(
-            (C_PAD - N_SUMS, chunk), jnp.float32
-        )
+        if packed:
+            # 8-row int32 gradient space: (Σdc_g·w, Σdc_b·w) bf16-rounded
+            # and bit-packed into row 6 — the readback becomes ONE 8-row
+            # (single sublane-group) gather; r0 (opacity's source) and all
+            # geometry moments stay exact f32, carried as bitcast int32
+            # words (packed words must not travel as f32 — denormal flush).
+            def f2i(x):
+                return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+            dbuf[oslot, 0:1, :] = f2i(t1)
+            dbuf[oslot, 1:2, :] = f2i(t2)
+            dbuf[oslot, 2:3, :] = f2i(ruu - cxl * (ru + t1))
+            dbuf[oslot, 3:4, :] = f2i(ruv - cxl * rv - cyl * t1)
+            dbuf[oslot, 4:5, :] = f2i(rvv - cyl * (rv + t2))
+            dbuf[oslot, 5:6, :] = f2i(raw[6:7])
+            dbuf[oslot, 6:7, :] = pack2(raw[7:8], raw[8:9])
+            dbuf[oslot, 7:8, :] = f2i(r0)
+        else:
+            dbuf[oslot, 0:1, :] = t1
+            dbuf[oslot, 1:2, :] = t2
+            dbuf[oslot, 2:3, :] = ruu - cxl * (ru + t1)      # Σdp2·dx²
+            dbuf[oslot, 3:4, :] = ruv - cxl * rv - cyl * t1  # Σdp2·dxdy
+            dbuf[oslot, 4:5, :] = rvv - cyl * (rv + t2)      # Σdp2·dy²
+            dbuf[oslot, 5:8, :] = raw[6:9]
+            dbuf[oslot, 8:9, :] = r0
+            dbuf[oslot, N_SUMS:C_PAD, :] = jnp.zeros(
+                (C_PAD - N_SUMS, chunk), jnp.float32
+            )
         dma_out(oslot, ci).start()
         return k + 1, u_acc
 
@@ -594,6 +747,9 @@ def _build_kernels(
     """Compile-cached forward/backward pallas_call wrappers for a grid size."""
     num_tiles = nty * ntx
     chunk = cfg.chunk
+    packed = cfg.payload_dtype == "packed"
+    p_rows = _payload_rows(cfg)
+    g_rows = _grad_rows(cfg)
     # φ can push a capacity-capped tile's span into one extra chunk.
     max_chunks = cfg.tile_capacity // chunk + 1
 
@@ -637,6 +793,7 @@ def _build_kernels(
                 checkpoint=checkpoint,
                 wireframe=cfg.wireframe,
                 line_px=cfg.line_px,
+                packed=packed,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=4,  # tile_base, tile_phi, tile_span, row_offset
@@ -644,7 +801,10 @@ def _build_kernels(
                 in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],  # payload in HBM
                 out_specs=out_specs,
                 scratch_shapes=[
-                    pltpu.SMEM((2, C_PAD, chunk), jnp.float32),
+                    pltpu.SMEM(
+                        (2, p_rows, chunk),
+                        jnp.int32 if packed else jnp.float32,
+                    ),
                     pltpu.SemaphoreType.DMA((2,)),
                 ],
             ),
@@ -662,6 +822,7 @@ def _build_kernels(
             max_chunks=max_chunks,
             max_alpha=cfg.max_alpha,
             soft_cutoff=cfg.soft_cutoff,
+            packed=packed,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             # tile_base, tile_phi, tile_span, used, grad_base, row_offset
@@ -683,9 +844,15 @@ def _build_kernels(
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.HBM),  # d_payload (grad space)
             scratch_shapes=[
-                pltpu.SMEM((2, C_PAD, chunk), jnp.float32),   # buf
-                pltpu.VMEM((2, 8, chunk), jnp.float32),       # vbuf (cx,cy rows)
-                pltpu.VMEM((2, C_PAD, chunk), jnp.float32),   # dbuf
+                pltpu.SMEM(
+                    (2, p_rows, chunk), jnp.int32 if packed else jnp.float32
+                ),                                            # buf
+                pltpu.VMEM(
+                    (2, 8, chunk), jnp.int32 if packed else jnp.float32
+                ),                                            # vbuf (cx,cy rows)
+                pltpu.VMEM(
+                    (2, g_rows, chunk), jnp.int32 if packed else jnp.float32
+                ),                                            # dbuf
                 pltpu.VMEM((N_ROWS_IN, chunk, PACK_LANES), jnp.float32),  # gmat
                 pltpu.VMEM((chunk, PACK_SUB, PACK_LANES), jnp.float32),  # tsplat
                 pltpu.VMEM((chunk, PACK_SUB, PACK_LANES), jnp.float32),  # asplat
@@ -694,7 +861,9 @@ def _build_kernels(
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((C_PAD, g_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (g_rows, g_pad), jnp.int32 if packed else jnp.float32
+        ),
         # zeros input (index 9 over [6 scalars, payload, d_out, tchk, zeros])
         # aliases the gradient-space output: one XLA memset pre-zeroes every
         # chunk, so early-terminated chunks are never touched by the kernel.
@@ -750,13 +919,30 @@ def _pad_rows(x):
     return jnp.pad(x, ((0, C_PAD - C_USED), (0, 0)))
 
 
-def _gather_payload(fields, pair_splat):
-    """(10, N) fields → (C_PAD, P) pair payload: one 10-row gather + the
-    zero rows the kernel DMAs expect.  An 8+2-row sublane-group split was
-    measured 2× SLOWER here (35 vs 17.6 ms at 2.75M duplicate-heavy
-    queries) even though the same split wins for the distinct-query
-    gradient readback — gather cost on this chip is not a simple
-    rows×queries model, so every variant is A/B'd on silicon."""
+def _gather_payload(fields, pair_splat, config=None):
+    """(10, N) fields → (rows, P) pair payload.
+
+    Default: one 10-row gather + the zero rows the kernel DMAs expect (an
+    8+2-row sublane-group split was measured 2× SLOWER here — 35 vs 17.6 ms
+    at 2.75M duplicate-heavy queries — even though the same split wins for
+    the distinct-query gradient readback: gather cost on this chip is not a
+    simple rows×queries model, so every variant is A/B'd on silicon).
+
+    ``payload_dtype="packed"``: rows 6..9 are bf16-rounded (by
+    ``quantize_payload``) and bit-pack pairwise into rows 6=(r,g),
+    7=(b,op), so the gather runs on 8 rows — ONE gather-unit sublane group
+    instead of two (measured ~21 → ~12 ms at 2.36M queries) — and no zero
+    pad is needed (8 rows is exactly the DMA alignment unit)."""
+    if config is not None and config.payload_dtype == "packed":
+        pf = jnp.concatenate(
+            [
+                jax.lax.bitcast_convert_type(fields[0:6], jnp.int32),
+                pack2(fields[6:7], fields[7:8]),
+                pack2(fields[8:9], fields[9:10]),
+            ],
+            axis=0,
+        )
+        return pf[:, pair_splat]
     return _pad_rows(fields[:, pair_splat])
 
 
@@ -799,7 +985,7 @@ def composite_splats_pallas(
     When not differentiated, XLA dead-code-eliminates the gradient-map
     arguments (and their binning cost) automatically.
     """
-    payload = _gather_payload(fields, pair_splat)
+    payload = _gather_payload(fields, pair_splat, config)
     fwd_call, _, _ = _build_kernels(
         nty, ntx, payload.shape[1], 0, config, interpret
     )
@@ -819,7 +1005,7 @@ def _csp_fwd(
         )
     from ..binning import grad_pad_size  # local import: avoid cycle
 
-    payload = _gather_payload(fields, pair_splat)
+    payload = _gather_payload(fields, pair_splat, config)
     g_pad = grad_pad_size(dest_of_exp.shape[0], nty * ntx, config.chunk)
     _, fwd_chk_call, _ = _build_kernels(
         nty, ntx, payload.shape[1], g_pad, config, interpret
@@ -847,9 +1033,10 @@ def _csp_bwd(nty, ntx, config, interpret, res, g):
     _, _, bwd_call = _build_kernels(
         nty, ntx, payload.shape[1], g_pad, config, interpret
     )
+    g_dt = jnp.int32 if config.payload_dtype == "packed" else jnp.float32
     d_grad_space = bwd_call(
         tile_base, tile_phi, tile_span, used, grad_base, row_offset,
-        payload, g, tchk, jnp.zeros((C_PAD, g_pad), jnp.float32),
+        payload, g, tchk, jnp.zeros((_grad_rows(config), g_pad), g_dt),
     )
     # gradient space → expansion order.  Dropped pairs carry ~j (negative):
     # decode to a spread in-range dummy query (duplicate-query hotspots
@@ -872,11 +1059,22 @@ def _csp_bwd(nty, ntx, config, interpret, res, g):
         q = jnp.concatenate([q, jnp.zeros((pad,), jnp.int32)])
         keep = jnp.concatenate([keep, jnp.zeros((pad,), bool)])
         rank_f = jnp.concatenate([rank_f, jnp.full((pad,), -1.0, jnp.float32)])
-    d8 = jnp.where(keep[None, :], d_grad_space[0:8][:, q], 0.0)
-    # Rows 8:10 = [Σdp2; zero] — the zero row is overwritten by the depth
-    # rank, which rides to the segsum kernel as a payload row (f32-exact).
-    daux = jnp.where(keep[None, :], d_grad_space[8:10][:, q], 0.0)
-    aux = jnp.concatenate([daux[0:1], rank_f[None, :]], axis=0)
+    if config.payload_dtype == "packed":
+        # 8-row INT32 gradient space: ONE single-sublane-group gather; the
+        # integer select masks dropped columns (bits 0 → 0.0 everywhere),
+        # then rows bitcast back to f32 and row 6 unpacks to
+        # (Σdc_g·w, Σdc_b·w); row 7 is r0 = Σdp2.
+        d8i = jnp.where(keep[None, :], d_grad_space[0:8][:, q], 0)
+        fr = jax.lax.bitcast_convert_type(d8i, jnp.float32)
+        cg, cb = unpack2(d8i[6:7])
+        d8 = jnp.concatenate([fr[0:6], cg, cb], axis=0)
+        aux = jnp.concatenate([fr[7:8], rank_f[None, :]], axis=0)
+    else:
+        d8 = jnp.where(keep[None, :], d_grad_space[0:8][:, q], 0.0)
+        # Rows 8:10 = [Σdp2; zero] — the zero row is overwritten by the depth
+        # rank, which rides to the segsum kernel as a payload row (f32-exact).
+        daux = jnp.where(keep[None, :], d_grad_space[8:10][:, q], 0.0)
+        aux = jnp.concatenate([daux[0:1], rank_f[None, :]], axis=0)
     # Per-splat raw-moment sums (9, N): rows 0..7 = d8 sums, row 8 = Σdp2.
     m = segsum_by_splat(
         d8, aux, exp_offsets, exp_counts, interpret, order=order

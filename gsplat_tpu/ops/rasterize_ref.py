@@ -61,10 +61,25 @@ def quantize_payload(p: ProjectedSplats, config) -> ProjectedSplats:
     storage analogue, ``include/GR_GSplat.h:120-127``): round the 10
     compositor payload rows to ``config.payload_dtype``, keeping the
     geometry rows (depth key, validity, footprint) fp32.  Applied uniformly
-    in every backend so cross-backend parity is preserved under quantization."""
+    in every backend so cross-backend parity is preserved under quantization.
+
+    ``"packed"`` rounds only the color+opacity rows (6..9) to bf16, keeping
+    the geometric rows (center, quad basis) f32 — the precision split the
+    pallas path's pairwise bit-packing needs (see RenderConfig docs)."""
     if config.payload_dtype == "float32":
         return p
     dt = jnp.bfloat16
+    if config.payload_dtype == "packed":
+        # Integer-bit RNE rounding, NOT astype: --xla_allow_excess_precision
+        # on TPU can elide a f32->bf16->f32 convert pair, which would leave
+        # each backend with different (unrounded) values and corrupt the
+        # pallas bit-pack.  See ops/pallas/composite.py round_bf16.
+        from .pallas.composite import round_bf16
+
+        q = round_bf16(p.fields[6:10])
+        return ProjectedSplats(
+            fields=jnp.concatenate([p.fields[:6], q, p.fields[10:]], axis=0)
+        )
     q = p.fields[:10].astype(dt).astype(jnp.float32)
     return ProjectedSplats(fields=jnp.concatenate([q, p.fields[10:]], axis=0))
 

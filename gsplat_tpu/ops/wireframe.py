@@ -96,7 +96,14 @@ def _wireframe_pallas(
 
     if config.tile_h != 32 or config.tile_w != 32:
         raise ValueError("pallas backend requires tile_h == tile_w == 32")
-    cfg = dataclasses.replace(config, wireframe=True, line_px=float(line_px))
+    # Wireframe skips quantize_payload (it rewrites opacity to the validity
+    # flag), so the packed-payload policy would bit-truncate unrounded
+    # colors — force the plain f32 payload here (both wireframe backends
+    # run unquantized, so parity is unaffected).
+    cfg = dataclasses.replace(
+        config, wireframe=True, line_px=float(line_px),
+        payload_dtype="float32",
+    )
     p = sanitize_projected(project_splats(splats, camera, 0))
     f = p.fields
     # The reference draws wireframes regardless of opacity and the band

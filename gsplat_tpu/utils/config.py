@@ -90,6 +90,22 @@ class RenderConfig:
     # hot gathers are per-query bound (bf16 gathers measured no faster —
     # scripts/profile_tail.py), so pair with GaussianSplats.astype(bfloat16)
     # when the goal is halving splat-storage HBM.
+    #
+    # "packed" is the production-performance policy: geometry rows (center,
+    # quad basis) stay f32 and only color+opacity round to bf16 — STRICTLY
+    # higher precision than "bfloat16", and the closest analogue of the
+    # reference's storage split (pos fp32, color/alpha fp16).  The pallas
+    # path then bit-packs the four rounded rows pairwise ((r,g), (b,op))
+    # into two f32 rows, shrinking the pair payload from 10 to 8 rows — one
+    # gather-unit sublane group instead of two, which nearly halves the
+    # payload gather and the per-chunk kernel DMA (the TPU gather unit
+    # fetches sublanes in groups of 8).  The backward kernel likewise packs
+    # (Σdc_g·w, Σdc_b·w) to emit an 8-row gradient space (single-group
+    # readback): color-g/b gradients (and the SH gradients fed by them)
+    # carry bf16 rounding of their per-pair summands (~0.2% rel); all other
+    # gradient rows stay exact.  Pack/unpack round-trips are bit-exact for
+    # bf16-rounded values, so pallas↔tiles↔oracle IMAGE parity remains
+    # bit-exact under the shared quantization.
     payload_dtype: str = "float32"
 
     # Wireframe debug mode (the reference's line-quad pass,
@@ -159,8 +175,8 @@ class RenderConfig:
             raise ValueError("chunk must be a multiple of 8")
         if self.tile_capacity % self.chunk != 0:
             raise ValueError("tile_capacity must be a multiple of chunk")
-        if self.payload_dtype not in ("float32", "bfloat16"):
+        if self.payload_dtype not in ("float32", "bfloat16", "packed"):
             raise ValueError(
-                f"payload_dtype must be 'float32' or 'bfloat16', got "
-                f"{self.payload_dtype!r}"
+                f"payload_dtype must be 'float32', 'bfloat16' or 'packed', "
+                f"got {self.payload_dtype!r}"
             )

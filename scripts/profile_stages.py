@@ -26,7 +26,8 @@ W, H = 1920, 1080
 key = jax.random.PRNGKey(0)
 splats = gt.random_splats(key, N, extent=1.2, scale_range=(0.002, 0.01), sh_scale=0.1)
 cam = gt.make_camera(eye=[0.0, 0.4, 3.0], target=[0, 0, 0], width=W, height=H)
-cfg = gt.RenderConfig()
+cfg = gt.tune_pair_budget(splats, cam, gt.RenderConfig(), headroom=1.02)
+print("tuned budget:", cfg.pair_budget_override)
 
 
 def probe(r):
@@ -92,7 +93,7 @@ binned_g = jax.jit(
 def csp(f_, b):
     packed = composite_splats_pallas(
         f_, b.pair_splat, b.tile_base, b.tile_phi, b.tile_span, b.grad_base,
-        b.dest_of_exp, b.exp_offsets, b.exp_counts,
+        b.dest_of_exp, b.exp_offsets, b.exp_counts, b.exp_rank,
         jnp.zeros((1,), jnp.int32), None, nty, ntx, cfg, False
     )
     return unpack_image(packed, H, W)

@@ -64,17 +64,55 @@ def verify(n: int = 4000, width: int = 256, height: int = 256,
         b = np.asarray(getattr(g_p, f))
         grad_diff = max(grad_diff, float(np.abs(b - a).max() / max(1.0, np.abs(a).max())))
 
+    # --- packed-payload production mode: the 8-row payload + 8-row gradient
+    # space with bf16-packed colors (RenderConfig.payload_dtype="packed").
+    # The image must still match the tiles backend (shared quantization; the
+    # pack/unpack round-trip is bit-exact), and the gradients split into the
+    # exact rows (tight tolerance) and the color/sh rows, whose per-pair
+    # summands round to bf16 in the gradient space (~0.2% envelope; pos
+    # inherits a small SH view-direction coupling).
+    import dataclasses as _dc
+
+    cfgk = _dc.replace(cfg, payload_dtype="packed")
+    img_tk = np.asarray(jax.jit(lambda s: gt.render_tiles(s, cam, cfgk))(splats))
+    img_pk = np.asarray(
+        jax.jit(lambda s: render_pallas(s, cam, cfgk, interpret=interpret))(splats)
+    )
+    packed_img_diff = float(np.abs(img_pk - img_tk).max())
+    g_tk = jax.jit(jax.grad(lambda s: jnp.sum(gt.render_tiles(s, cam, cfgk) * w)))(splats)
+    g_pk = jax.jit(
+        jax.grad(
+            lambda s: jnp.sum(render_pallas(s, cam, cfgk, interpret=interpret) * w)
+        )
+    )(splats)
+    packed_exact = 0.0   # pos/orient/scale/opacity rows (f32-exact path)
+    packed_color = 0.0   # color/sh rows (bf16-packed per-pair summands)
+    for f in GRAD_FIELDS:
+        a = np.asarray(getattr(g_tk, f))
+        b = np.asarray(getattr(g_pk, f))
+        d = float(np.abs(b - a).max() / max(1.0, np.abs(a).max()))
+        if f in ("color", "sh"):
+            packed_color = max(packed_color, d)
+        else:
+            packed_exact = max(packed_exact, d)
+
     result = {
         "ok": False,
         "backend": jax.default_backend(),
         "interpret": interpret,
         "img_max_abs_diff": img_diff,
         "grad_max_rel_diff": grad_diff,
+        "packed_img_max_abs_diff": packed_img_diff,
+        "packed_grad_exact_rows_rel_diff": packed_exact,
+        "packed_grad_color_rows_rel_diff": packed_color,
         "n": n,
         "size": [width, height],
     }
     ok = bool(np.isfinite(img_diff) and np.isfinite(grad_diff)
-              and img_diff < 1e-5 and grad_diff < 2e-4)
+              and img_diff < 1e-5 and grad_diff < 2e-4
+              and np.isfinite(packed_img_diff) and packed_img_diff < 1e-5
+              and np.isfinite(packed_exact) and packed_exact < 2e-3
+              and np.isfinite(packed_color) and packed_color < 2e-2)
 
     if sharded:
         # Sharded-pallas sanity on the real chip: render_sharded on a

@@ -91,3 +91,60 @@ class TestBackward:
             b_ = np.asarray(getattr(g2, f))
             tol = 2e-4 * max(1.0, np.abs(a_).max())
             np.testing.assert_allclose(b_, a_, atol=tol, err_msg=f)
+
+
+class TestPackedPayload:
+    """payload_dtype="packed": 8-row bit-packed payload + 8-row gradient
+    space (production-perf mode).  Image parity must be exact (shared bf16
+    quantization of color+opacity; pack/unpack round-trips are bit-exact);
+    gradients split into exact rows and the bf16-summand color rows."""
+
+    PCFG = dataclasses.replace(CFG, payload_dtype="packed")
+
+    def test_image_matches_tiled(self):
+        splats, cam = scene(n=400, seed=1)
+        a = np.asarray(render_tiles(splats, cam, self.PCFG))
+        b = np.asarray(render_pallas(splats, cam, self.PCFG, interpret=True))
+        np.testing.assert_allclose(b, a, atol=1e-6)
+
+    def test_pack_roundtrip_and_rounding(self):
+        from gsplat_tpu.ops.pallas.composite import pack2, round_bf16, unpack2
+
+        x = jnp.asarray(
+            np.array([1.0000001, 0.1, 3.14159265, -2.7182818, 0.0, 1e-4],
+                     np.float32)
+        )
+        r = np.asarray(jax.jit(round_bf16)(x))
+        want = np.asarray(x.astype(jnp.bfloat16).astype(jnp.float32))
+        assert np.array_equal(r, want)  # integer RNE == convert RNE
+        hi, lo = jax.jit(lambda a, b: unpack2(pack2(a, b)))(x, x[::-1])
+        assert np.asarray(pack2(x, x)).dtype == np.int32  # never f32 (denormal flush)
+        assert np.array_equal(np.asarray(hi), want)
+        assert np.array_equal(np.asarray(lo), want[::-1])
+
+    def test_round_bf16_straight_through_grad(self):
+        from gsplat_tpu.ops.pallas.composite import round_bf16
+
+        g = jax.grad(lambda x: jnp.sum(round_bf16(x) * 3.0))(jnp.ones((4,)))
+        np.testing.assert_array_equal(np.asarray(g), 3.0)
+
+    def test_grads_match_tiled(self):
+        splats, cam = scene(n=400, seed=1)
+        w = jax.random.normal(jax.random.PRNGKey(7), (64, 64, 4))
+
+        def loss(render):
+            return lambda s: jnp.sum(render(s) * w)
+
+        gt_ = jax.grad(loss(lambda s: render_tiles(s, cam, self.PCFG)))(splats)
+        gp = jax.grad(
+            loss(lambda s: render_pallas(s, cam, self.PCFG, interpret=True))
+        )(splats)
+        for f in ("pos", "orient", "scale", "opacity"):
+            a = np.asarray(getattr(gt_, f))
+            b = np.asarray(getattr(gp, f))
+            np.testing.assert_allclose(b, a, atol=2e-4 * max(1.0, np.abs(a).max()))
+        for f in ("color", "sh"):  # bf16-packed per-pair summands (~0.4%)
+            a = np.asarray(getattr(gt_, f))
+            b = np.asarray(getattr(gp, f))
+            assert np.abs(b - a).max() <= 2e-2 * max(1.0, np.abs(a).max())
+            assert np.abs(b - a).max() > 0 or np.abs(a).max() == 0
