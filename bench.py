@@ -41,10 +41,23 @@ def main():
                          "doubling the chunk halves checkpoint HBM — the "
                          "difference between fitting the worst-tile-depth "
                          "capacity (~21.5k pairs) and OOM")
-    ap.add_argument("--eps", type=float, default=None,
-                    help="override transmittance_eps (early-stop threshold; "
-                         "bounds the max per-pixel color error by eps — "
-                         "1e-3 is still < 1/4 of an 8-bit LSB)")
+    ap.add_argument("--eps", type=float, default=1e-3,
+                    help="transmittance_eps (early-stop threshold; bounds "
+                         "the max per-pixel premultiplied-color error by "
+                         "eps — the 1e-3 default is < 1/4 of an 8-bit "
+                         "display LSB, i.e. invisible on any 8-bit target; "
+                         "pass 0 for the bitwise-exact no-early-stop path)")
+    ap.add_argument("--payload", default="packed",
+                    choices=["packed", "float32", "bfloat16"],
+                    help="payload precision policy.  'packed' is the "
+                         "production default: geometry f32, color+opacity "
+                         "bf16 bit-packed pairwise (the reference's own "
+                         "pos-f32/color-fp16 storage split, "
+                         "include/GR_GSplat.h:120-127) — 8-row payload and "
+                         "gradient space, one gather sublane-group instead "
+                         "of two.  Image parity vs the XLA backend stays "
+                         "bit-exact (shared quantization; see the bench's "
+                         "embedded parity verdict)")
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--ply", default=None,
                     help="bench a real 3DGS point_cloud.ply instead of the synthetic scene")
@@ -74,6 +87,10 @@ def main():
         eye=[0.0, 0.4, 3.0], target=[0, 0, 0], width=args.width, height=args.height
     )
     cfg = gt.RenderConfig()
+    if args.payload != "float32":
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, payload_dtype=args.payload)
     if args.chunk is not None:
         import dataclasses
 
@@ -86,6 +103,11 @@ def main():
         import dataclasses
 
         cfg = dataclasses.replace(cfg, transmittance_eps=args.eps)
+    if args.wireframe:
+        import dataclasses
+
+        # the wireframe kernel pins the f32 payload internally anyway
+        cfg = dataclasses.replace(cfg, payload_dtype="float32")
     if args.wireframe:
         args.fwd_only = True
 
@@ -183,6 +205,8 @@ def main():
         "backend": backend,
         "median_ms": round(dt * 1000, 2),
         "dropped_pairs": dropped,
+        "payload_dtype": cfg.payload_dtype,
+        "transmittance_eps": cfg.transmittance_eps,
     }
     if backend == "pallas" and not args.skip_parity:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))

@@ -46,6 +46,7 @@ import jax.numpy as jnp
 
 from ..utils.config import RenderConfig
 from ..utils.logging import format_count, get_logger
+from .pallas.scan import cummax_i32, cumsum_i32
 from .covariance import ALPHA_CUTOFF, QUAD_EXTENT
 from .projection import (
     ROW_CX,
@@ -338,7 +339,7 @@ def bin_splats(
     # splats, 30× the entire rest of the frame.)  Zero-count ranks share
     # their offset with the next non-empty rank, whose larger id wins the
     # max, so the mapping lands on the owning splat.
-    cum = jnp.cumsum(counts_d)
+    cum = cumsum_i32(counts_d)
     total = jnp.minimum(cum[-1] if n > 0 else jnp.int32(0), budget)
     offsets = cum - counts_d
     pair_idx = jnp.arange(budget, dtype=jnp.int32)
@@ -346,7 +347,7 @@ def bin_splats(
     marks = jnp.zeros((budget,), jnp.int32).at[offsets].max(
         splat_ids + 1, mode="drop"
     )
-    s_safe = jnp.minimum(jax.lax.cummax(marks) - 1, n - 1)
+    s_safe = jnp.minimum(cummax_i32(marks) - 1, n - 1)
     s_safe = jnp.maximum(s_safe, 0)
     # The per-splat expansion operands are fetched with ONE multi-row gather
     # (the gather unit is element-sequential: cost = rows × queries), and the
@@ -581,7 +582,7 @@ def bin_splats(
         # descriptor exactly.
         def seg_desc(values):
             m = jnp.zeros((budget,), jnp.int32).at[sb].max(values, mode="drop")
-            return jax.lax.cummax(m)
+            return cummax_i32(m)
 
         delta = seg_desc(grad_base + phi - sb)   # sorted pos → gradient slot
         cap_end = seg_desc(sb + tile_count)      # capped segment end

@@ -173,6 +173,10 @@ class RenderConfig:
             # (== PACK_SUB, the store-alignment unit); a non-multiple chunk
             # would silently skip the trailing chunk % 8 pairs per chunk.
             raise ValueError("chunk must be a multiple of 8")
+        if self.payload_dtype == "packed" and self.chunk % 128 != 0:
+            # int32 payload DMA slices must be 128-lane aligned (Mosaic
+            # rejects chunk=64 at compile time with the packed layout).
+            raise ValueError("packed payload requires chunk % 128 == 0")
         if self.tile_capacity % self.chunk != 0:
             raise ValueError("tile_capacity must be a multiple of chunk")
         if self.payload_dtype not in ("float32", "bfloat16", "packed"):

@@ -148,3 +148,20 @@ class TestPackedPayload:
             b = np.asarray(getattr(gp, f))
             assert np.abs(b - a).max() <= 2e-2 * max(1.0, np.abs(a).max())
             assert np.abs(b - a).max() > 0 or np.abs(a).max() == 0
+
+
+class TestScanKernel:
+    """Pallas 1-D prefix scans: bit-identical to the XLA scans they replace."""
+
+    @pytest.mark.parametrize("n", [100, 70_000, 200_000, 200_001])
+    def test_cumsum_cummax_exact(self, n):
+        from gsplat_tpu.ops.pallas.scan import cummax_i32, cumsum_i32
+
+        x = jax.random.randint(jax.random.PRNGKey(n), (n,), -1000, 1000, jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(cumsum_i32(x, interpret=True)), np.asarray(jnp.cumsum(x))
+        )
+        np.testing.assert_array_equal(
+            np.asarray(cummax_i32(x, interpret=True)),
+            np.asarray(jax.lax.cummax(x)),
+        )
