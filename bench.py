@@ -197,17 +197,31 @@ def main():
     # Mosaic-compiled kernels match the pure-XLA backend ON THIS DEVICE
     # (interpreter-mode tests can't catch a miscompile).
     kind = "wireframe fwd" if args.wireframe else ("fwd" if args.fwd_only else "fwd+bwd")
+    # Speed-of-light model (utils/sol.py): per-stage hardware floor for this
+    # frame's actual pair budget.  The reference publishes no numbers, so
+    # vs_baseline reports the fraction of the modelled floor achieved
+    # (1.0 = at light speed) — the falsifiable replacement for "fast".
+    sol = None
+    if not args.wireframe:
+        from gsplat_tpu.utils.sol import report as sol_report
+
+        budget = cfg.pair_budget(args.splats)
+        sol = sol_report(args.splats, args.width, args.height, budget,
+                         dt * 1000, fwd_only=args.fwd_only)
     result = {
         "metric": f"{args.splats//1000}k-splat {args.width}x{args.height} {kind} frames/sec/chip",
         "value": round(fps, 3),
         "unit": "frames/s",
-        "vs_baseline": None,
+        "vs_baseline": sol["sol_fraction"] if sol else None,
+        "vs_baseline_note": "fraction of modelled speed-of-light floor (sol_ms); reference publishes no fps numbers",
         "backend": backend,
         "median_ms": round(dt * 1000, 2),
         "dropped_pairs": dropped,
         "payload_dtype": cfg.payload_dtype,
         "transmittance_eps": cfg.transmittance_eps,
     }
+    if sol:
+        result.update(sol)
     if backend == "pallas" and not args.skip_parity:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
         try:
