@@ -61,6 +61,12 @@ def main():
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--ply", default=None,
                     help="bench a real 3DGS point_cloud.ply instead of the synthetic scene")
+    ap.add_argument("--scene", default="uniform", choices=["uniform", "trained"],
+                    help="synthetic scene distribution: 'uniform' (the "
+                         "historical random_splats bench scene) or 'trained' "
+                         "(heavy-tailed log-normal scales, near-transparent "
+                         "tail, clustered positions — matched to trained-3DGS "
+                         "statistics, BASELINE config 3's 'captured scene')")
     ap.add_argument("--skip-parity", action="store_true",
                     help="skip the on-chip pallas-vs-tiles correctness gate")
     ap.add_argument("--no-tune", action="store_true",
@@ -78,6 +84,8 @@ def main():
     if args.ply:
         splats = gt.load_ply(args.ply)
         args.splats = splats.count
+    elif args.scene == "trained":
+        splats = gt.trained_like_splats(key, args.splats, extent=1.2, sh_scale=0.1)
     else:
         # a scene that covers the frame with realistic footprints + full SH
         splats = gt.random_splats(
@@ -210,6 +218,7 @@ def main():
                          dt * 1000, fwd_only=args.fwd_only)
     result = {
         "metric": f"{args.splats//1000}k-splat {args.width}x{args.height} {kind} frames/sec/chip",
+        "scene": ("ply" if args.ply else args.scene),
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": sol["sol_fraction"] if sol else None,

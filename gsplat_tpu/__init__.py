@@ -12,7 +12,7 @@ See SURVEY.md for the structural analysis of the reference this was built to.
 
 from .version import __version__
 from .models.camera import Camera, make_camera, look_at, perspective
-from .models.splats import GaussianSplats, make_splats, random_splats, to_numpy_dict
+from .models.splats import GaussianSplats, make_splats, random_splats, trained_like_splats, to_numpy_dict
 from .utils.config import RenderConfig
 from .ops.binning import RenderStats, report_stats
 from .ops.projection import ProjectedSplats, project_splats

@@ -223,6 +223,64 @@ def random_splats(
     ).validate()
 
 
+def trained_like_splats(
+    key: jax.Array,
+    n: int,
+    extent: float = 1.2,
+    sh_scale: float = 0.1,
+    dtype=jnp.float32,
+) -> GaussianSplats:
+    """Synthetic scene matched to TRAINED 3DGS statistics — the heavy-tailed
+    distributions ``random_splats``' uniform draws lack (BASELINE config 3:
+    "captured scene"):
+
+    * log-normal anisotropic scales: most splats tiny, a rare large tail,
+      per-axis anisotropy up to ~10× (needle/disc splats) — exercises the
+      SAT cull and the tile-capacity tail;
+    * sigmoid-of-normal opacities: a large near-transparent population
+      (trained scenes keep thousands of barely-visible splats the 1/255
+      discard then kills) plus a solid opaque mode;
+    * Gaussian-mixture positions: splats cluster on surfaces, not uniform
+      in the volume — center-heavy tile loads and depth clustering, the
+      distributions the budget/capacity autotuners must survive.
+
+    Activation-space outputs (same convention as :func:`load_ply`'s result).
+    """
+    k1, k2, k3, k4, k5, k6, k7, k8 = jax.random.split(key, 8)
+    # positions: 12 anisotropic Gaussian clusters within the extent
+    n_clusters = 12
+    centers = jax.random.uniform(
+        k1, (3, n_clusters), minval=-0.7 * extent, maxval=0.7 * extent
+    )
+    widths = jnp.exp(jax.random.uniform(
+        k2, (3, n_clusters),
+        minval=jnp.log(0.05 * extent), maxval=jnp.log(0.45 * extent),
+    ))
+    cid = jax.random.randint(k3, (n,), 0, n_clusters)
+    pos = centers[:, cid] + widths[:, cid] * jax.random.normal(k4, (3, n))
+    quat = jax.random.normal(k5, (4, n))
+    quat = quat / jnp.linalg.norm(quat, axis=0, keepdims=True)
+    # log-normal scales, median ~0.004·extent, heavy upper tail, per-axis
+    # anisotropy via independent per-axis log-noise
+    base = jnp.exp(jnp.log(0.004 * extent) + 0.9 * jax.random.normal(k6, (1, n)))
+    aniso = jnp.exp(0.8 * jax.random.normal(k7, (3, n)))
+    scale = jnp.clip(base * aniso, 1e-5, 0.3 * extent)
+    ko1, ko2, kc, ks = jax.random.split(k8, 4)
+    opacity = jax.nn.sigmoid(1.2 * jax.random.normal(ko1, (n,)) - 0.3)
+    color = jnp.clip(
+        0.5 + 0.25 * jax.random.normal(kc, (3, n)), 0.0, 1.0
+    )
+    sh = sh_scale * jax.random.normal(ks, (3 * SH_REST_COEFFS, n))
+    return GaussianSplats(
+        pos=pos.astype(jnp.float32),
+        orient=quat.astype(dtype),
+        scale=scale.astype(dtype),
+        opacity=opacity.astype(dtype),
+        color=color.astype(dtype),
+        sh=sh.astype(dtype),
+    ).validate()
+
+
 def to_numpy_dict(splats: GaussianSplats) -> Dict[str, np.ndarray]:
     """Per-splat (N, ·) numpy dict (user-facing row conventions)."""
     return {

@@ -222,34 +222,51 @@ def grad_pad_size(budget: int, num_tiles: int, chunk: int) -> int:
     return -(-(budget + num_tiles * 2 * (chunk - 1)) // chunk) * chunk + chunk
 
 
-def _tile_extents(f, width: int, height: int, config: RenderConfig, row_offset):
+def _axis_tiles(p_lo, p_hi, tile_px, off, stride, nt):
+    """Pixel range → local tile range on one axis under the strided mapping
+    (global tile g = off + ℓ·stride).  Returns (ℓ0, ℓ1, empty): clipped
+    local bounds plus the empty-range cull flag.  Exact integer arithmetic:
+    ℓ0 = ⌈(g0−off)/stride⌉, ℓ1 = ⌊(g1−off)/stride⌋ via correctly-rounded f32
+    division of small ints (same argument as the r // nx division below)."""
+    g0 = jnp.floor(p_lo / tile_px).astype(jnp.int32) - off
+    g1 = jnp.floor(p_hi / tile_px).astype(jnp.int32) - off
+    if stride == 1:
+        l0, l1 = g0, g1
+    else:
+        inv = 1.0 / float(stride)
+        l0 = jnp.floor((g0 + (stride - 1)).astype(jnp.float32) * inv).astype(jnp.int32)
+        l1 = jnp.floor(g1.astype(jnp.float32) * inv).astype(jnp.int32)
+    empty = (l1 < l0) | (l1 < 0) | (l0 > nt - 1)
+    return jnp.clip(l0, 0, nt - 1), jnp.clip(l1, 0, nt - 1), empty
+
+
+def _tile_extents(f, width: int, height: int, config: RenderConfig, row_offset,
+                  col_offset):
     """Per-splat tile-coverage counts + bbox operands (shared by binning and
-    the budget-tuning count pass so both cull/extent rules stay identical)."""
+    the budget-tuning count pass so both cull/extent rules stay identical).
+
+    Local tile (ℓy, ℓx) covers GLOBAL tile
+    (``row_offset + ℓy·row_stride``, ``col_offset + ℓx·col_stride``)
+    (strides from the config; (1, 1) = contiguous strip / full frame, the
+    cyclic sharded renderer interleaves on both axes).  An empty local range
+    on either axis culls the splat on this device."""
     nty, ntx = tile_grid(width, height, config.tile_h, config.tile_w)
-    y_base = (row_offset * config.tile_h).astype(jnp.float32)
 
     x_lo = f[ROW_CX] - f[ROW_HX]
     x_hi = f[ROW_CX] + f[ROW_HX]
     y_lo = f[ROW_CY] - f[ROW_HY]
     y_hi = f[ROW_CY] + f[ROW_HY]
 
-    # Cull: behind camera, fully offscreen, or opacity below the discard
-    # threshold (the fragment shader would discard every covered pixel).
-    cull = (
-        (f[ROW_VALID] < 0.5)
-        | (x_hi < 0.0)
-        | (y_hi < y_base)
-        | (x_lo >= width)
-        | (y_lo >= y_base + height)
-        | (f[ROW_OP] < ALPHA_CUTOFF)
-    )
+    # Cull: behind camera or opacity below the discard threshold (the
+    # fragment shader would discard every covered pixel); off-device
+    # coverage culls through the empty-range flags below.
+    cull = (f[ROW_VALID] < 0.5) | (f[ROW_OP] < ALPHA_CUTOFF)
 
     tw = float(config.tile_w)
     th = float(config.tile_h)
-    tx0 = jnp.clip(jnp.floor(x_lo / tw).astype(jnp.int32), 0, ntx - 1)
-    tx1 = jnp.clip(jnp.floor(x_hi / tw).astype(jnp.int32), 0, ntx - 1)
-    ty0 = jnp.clip(jnp.floor(y_lo / th).astype(jnp.int32) - row_offset, 0, nty - 1)
-    ty1 = jnp.clip(jnp.floor(y_hi / th).astype(jnp.int32) - row_offset, 0, nty - 1)
+    tx0, tx1, ex = _axis_tiles(x_lo, x_hi, tw, col_offset, config.col_stride, ntx)
+    ty0, ty1, ey = _axis_tiles(y_lo, y_hi, th, row_offset, config.row_stride, nty)
+    cull = cull | ex | ey
     nx = jnp.where(cull, 0, tx1 - tx0 + 1)
     ny = jnp.where(cull, 0, ty1 - ty0 + 1)
     counts = nx * ny
@@ -262,13 +279,15 @@ def count_pairs(
     height: int,
     config: RenderConfig,
     row_offset=0,
+    col_offset=0,
 ) -> jax.Array:
     """Exact (tile, splat) pair count for one frame — the cheap counting pass
     behind ``tune_pair_budget`` (projection + bbox math + one reduction; no
     expansion, sort, or pair arrays)."""
     row_offset = jnp.asarray(row_offset, dtype=jnp.int32)
+    col_offset = jnp.asarray(col_offset, dtype=jnp.int32)
     counts, _, _, _ = _tile_extents(
-        sorted_projected.fields, width, height, config, row_offset
+        sorted_projected.fields, width, height, config, row_offset, col_offset
     )
     return jnp.sum(counts)
 
@@ -283,6 +302,7 @@ def bin_splats(
     with_grad_map: bool = False,
     order: jax.Array = None,
     budget: int = None,
+    col_offset=0,
 ) -> BinnedPairs:
     """Bin sanitized projected splats into tiles.
 
@@ -318,7 +338,10 @@ def bin_splats(
     if budget is None:
         budget = config.pair_budget(n)
     row_offset = jnp.asarray(row_offset, dtype=jnp.int32)
-    counts, nx, tx0, ty0 = _tile_extents(f, width, height, config, row_offset)
+    col_offset = jnp.asarray(col_offset, dtype=jnp.int32)
+    counts, nx, tx0, ty0 = _tile_extents(
+        f, width, height, config, row_offset, col_offset
+    )
 
     # Depth (rank) order: with ``order`` the fields stay in storage order and
     # only the per-splat expansion operands are reordered through it — 1-row
@@ -447,8 +470,13 @@ def bin_splats(
         ty0f = jnp.floor(
             tile0_s.astype(jnp.float32) / jnp.float32(ntx)
         )
-        tx_t = (tile0_s - ty0f.astype(jnp.int32) * ntx + dtx).astype(jnp.float32)
-        ty_t = ty0f + dty.astype(jnp.float32) + row_offset.astype(jnp.float32)
+        tx_t = (
+            (tile0_s - ty0f.astype(jnp.int32) * ntx + dtx).astype(jnp.float32)
+            * float(config.col_stride)
+            + col_offset.astype(jnp.float32)
+        )
+        ty_t = (ty0f + dty.astype(jnp.float32)) * float(config.row_stride) \
+            + row_offset.astype(jnp.float32)
         tw = float(config.tile_w)
         th = float(config.tile_h)
         pcx = tx_t * tw + (tw * 0.5) - cx_s

@@ -183,7 +183,7 @@ def _grad_rows(config) -> int:
 
 def _pixel_coords(ty, tx):
     """Pixel-center coordinates of tile (ty, tx) — ty in *global* screen tile
-    rows (strip renders pass program row + row_offset) — packed (8, 128)."""
+    rows (strip renders pass strided program row + offset) — packed (8, 128)."""
     li = jax.lax.broadcasted_iota(jnp.int32, (PACK_SUB, PACK_LANES), 1)
     si = jax.lax.broadcasted_iota(jnp.int32, (PACK_SUB, PACK_LANES), 0)
     col = li % TILE
@@ -195,7 +195,7 @@ def _pixel_coords(ty, tx):
 
 def _splat_alpha(
     buf, slot, i, px, py, max_alpha, soft_cutoff, valid,
-    wireframe=False, line_px=1.0, packed=False, op_in=None,
+    wireframe=False, line_px=1.0, packed=False, op_in=None, bgd=None,
 ):
     """One splat's (8, 128) alpha from scalar SMEM fields.
 
@@ -262,6 +262,13 @@ def _splat_alpha(
         ext2 = QUAD_EXTENT * QUAD_EXTENT
         inside = jnp.maximum(qx2, qy2) <= ext2
         alpha = jnp.where(inside & (alpha >= ALPHA_CUTOFF), alpha, 0.0)
+    if bgd is not None:
+        # Depth-tested compositing into a host scene: kill pixels where the
+        # splat center's view-z lies behind the scene depth (the
+        # reference's z-tested, non-z-writing beauty pass —
+        # src/GSplatRenderer.C:595-610).  α = 0 also zeroes every gradient
+        # row the killed pixel would emit.
+        alpha = jnp.where(buf[slot, 10, i] <= bgd, alpha, 0.0)
     return alpha, qx, qy, dx, dy, op
 
 
@@ -269,11 +276,10 @@ def _fwd_kernel(
     base_ref,      # (T,) int32 — chunk-aligned DMA base per tile
     phi_ref,       # (T,) int32 — lead phase (start − base)
     span_ref,      # (T,) int32 — phi + count (0 for empty tiles)
-    yoff_ref,      # (1,) int32 — global tile-row offset of this strip
+    off_ref,       # (2,) int32 — global tile (row, col) offset of this strip
     payload_ref,   # (C_PAD, P_pad) HBM
-    out_ref,       # (1, 1, 4, 8, 128) VMEM block
-    stop_ref,      # (T,) SMEM, full array
-    *rest,         # [tchk_ref] + scratch: transmittance checkpoints (fwd rule)
+    *rest,         # [bgd_ref if depth_test] + out_ref + stop_ref +
+                   # [tchk_ref if checkpoint] + scratch
     ntx: int,
     chunk: int,
     max_alpha: float,
@@ -283,12 +289,21 @@ def _fwd_kernel(
     wireframe: bool,
     line_px: float,
     packed: bool,
+    row_stride: int,
+    col_stride: int,
+    depth_test: bool,
 ):
+    if depth_test:
+        bgd_ref, rest = rest[0], rest[1:]
+    else:
+        bgd_ref = None
+    out_ref, stop_ref, rest = rest[0], rest[1], rest[2:]
     if checkpoint:
         tchk_ref, buf, sem = rest  # (1, 1, max_chunks, 8, 128) VMEM block
     else:
         tchk_ref = None
         buf, sem = rest
+    bgd = bgd_ref[0, 0] if depth_test else None
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     t = ty * ntx + tx
@@ -296,7 +311,10 @@ def _fwd_kernel(
     phi = phi_ref[t]
     span = span_ref[t]
     nchunks = pl.cdiv(span, chunk)
-    px, py = _pixel_coords(ty + yoff_ref[0], tx)
+    # Global tile coords: local · stride + offset (cyclic sharded grids).
+    px, py = _pixel_coords(
+        ty * row_stride + off_ref[0], tx * col_stride + off_ref[1]
+    )
 
     def dma(slot, ci):
         return pltpu.make_async_copy(
@@ -356,7 +374,7 @@ def _fwd_kernel(
                 alphas.append(
                     _splat_alpha(
                         buf, slot, i0 + u, px, py, max_alpha, soft_cutoff,
-                        valid, wireframe, line_px, packed, op_in,
+                        valid, wireframe, line_px, packed, op_in, bgd,
                     )[0]
                 )
             prefixes = []
@@ -409,36 +427,35 @@ def _bwd_kernel(
     span_ref,      # (T,) int32 — phi + count
     used_ref,      # (T,) int32 — forward stop counter (span space)
     gbase_ref,     # (T,) int32 — gradient-space region base (chunk-aligned)
-    yoff_ref,      # (1,) int32 — global tile-row offset of this strip
+    off_ref,       # (2,) int32 — global tile (row, col) offset of this strip
     payload_ref,   # (C_PAD, P_pad) HBM
-    dout_ref,      # (1, 1, 4, 8, 128) VMEM block
-    tchk_ref,      # (1, 1, max_chunks, 8, 128) VMEM block — fwd T checkpoints
-    zeros_ref,     # (C_PAD, G_pad) HBM in — pre-zeroed, aliased to dpay_ref:
+    *bwd_rest,     # [bgd_ref if depth_test] + dout_ref + tchk_ref +
+                   # zeros_ref + dpay_ref + scratch; unpacked below.
+                   # Original meanings:
+                   # dout_ref  (1, 1, 4, 8, 128) VMEM block
+                   # tchk_ref  (1, 1, max_chunks, 8, 128) VMEM block
+                   # zeros_ref (C_PAD, G_pad) HBM in — pre-zeroed, aliased:
                    # chunks skipped by early termination keep their zeros, so
                    # the kernel never walks them (one XLA memset replaces the
                    # former per-chunk zero-DMA loop: 9.4k serialized DMAs per
                    # frame at 1M/1080p — a pure pipeline stall)
-    dpay_ref,      # (C_PAD, G_pad) HBM out — gradient address space
-    buf,           # (2, C_PAD, chunk) SMEM in — scalar per-splat field reads
-    vbuf,          # (2, 8, chunk) VMEM in — payload rows 0..7 as lane
-                   # vectors (the chunk-end moment rebuild needs cx, cy per
-                   # pair in vector form; SMEM scalars can't make one)
-    dbuf,          # (2, C_PAD, chunk) VMEM out staging
-    gmat,          # (N_ROWS_IN, chunk, PACK_LANES) VMEM — per-pair S rows
-    tsplat,        # (chunk, 8, 128) VMEM — per-splat transmittance, one chunk
-    asplat,        # (chunk, 8, 128) VMEM — per-splat alpha, one chunk
-    sem,
-    vsem,
-    dsem,
-    *,
     ntx: int,
     chunk: int,
     max_chunks: int,
     max_alpha: float,
     soft_cutoff: bool,
     packed: bool,
+    row_stride: int,
+    col_stride: int,
+    depth_test: bool,
 ):
     """Backward: division-free two-pass replay with MXU-batched reductions.
+
+    Remaining positional refs (``bwd_rest``): dpay_ref (gradient address
+    space HBM out), then scratch: buf (2, rows, chunk) SMEM payload reads,
+    vbuf (2, 8, chunk) VMEM payload rows as lane vectors, dbuf staging,
+    gmat per-pair S rows, tsplat/asplat per-chunk replay memos, 3 DMA
+    semaphore pairs.
 
     The textbook 3DGS backward reconstructs per-splat transmittance by
     dividing the final T by (1−α) back-to-front; that collapses to zero for
@@ -472,6 +489,14 @@ def _bwd_kernel(
     count is what matters (9 → 6 rows + no per-pair dx/dy products:
     ~7 ms/frame at 1M/1080p, scripts/profile_bwd.py).
     """
+    rest = bwd_rest
+    if depth_test:
+        bgd_ref, rest = rest[0], rest[1:]
+    else:
+        bgd_ref = None
+    (dout_ref, tchk_ref, zeros_ref, dpay_ref, buf, vbuf, dbuf, gmat,
+     tsplat, asplat, sem, vsem, dsem) = rest
+    bgd = bgd_ref[0, 0] if depth_test else None
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     t = ty * ntx + tx
@@ -481,8 +506,9 @@ def _bwd_kernel(
     used = used_ref[t]
     gbase = gbase_ref[t]
     nused = pl.cdiv(used, chunk)
-    tyg = ty + yoff_ref[0]
-    px, py = _pixel_coords(tyg, tx)
+    tyg = ty * row_stride + off_ref[0]
+    txg = tx * col_stride + off_ref[1]
+    px, py = _pixel_coords(tyg, txg)
     # Sublane iota (the s of v = vl + s) and the TILE-LOCAL per-lane pixel
     # weight rows for the chunk-end moment rebuild: u = px − 32·tx depends
     # on the lane only; v = py − 32·ty_glob = vl_row + s exactly (integers
@@ -561,7 +587,7 @@ def _bwd_kernel(
                 alphas.append(
                     _splat_alpha(
                         buf, slot, i0 + u, px, py, max_alpha, soft_cutoff,
-                        valid, packed=packed,
+                        valid, packed=packed, bgd=bgd,
                     )[0]
                 )
             for u in range(UNROLL):
@@ -691,7 +717,7 @@ def _bwd_kernel(
         else:
             cxv = vbuf[slot, 0:1, :]
             cyv = vbuf[slot, 1:2, :]
-        cxl = cxv - (tx * TILE)   # (1, chunk) local centers
+        cxl = cxv - (txg * TILE)  # (1, chunk) local centers
         cyl = cyv - (tyg * TILE)
         t1 = ru - cxl * r0
         t2 = rv - cyl * r0
@@ -748,8 +774,14 @@ def _build_kernels(
     num_tiles = nty * ntx
     chunk = cfg.chunk
     packed = cfg.payload_dtype == "packed"
+    depth_test = cfg.depth_test
     p_rows = _payload_rows(cfg)
     g_rows = _grad_rows(cfg)
+    bgd_spec = pl.BlockSpec(
+        (1, 1, PACK_SUB, PACK_LANES),
+        lambda i, j, *_: (i, j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     # φ can push a capacity-capped tile's span into one extra chunk.
     max_chunks = cfg.tile_capacity // chunk + 1
 
@@ -794,11 +826,15 @@ def _build_kernels(
                 wireframe=cfg.wireframe,
                 line_px=cfg.line_px,
                 packed=packed,
+                row_stride=cfg.row_stride,
+                col_stride=cfg.col_stride,
+                depth_test=depth_test,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=4,  # tile_base, tile_phi, tile_span, row_offset
+                num_scalar_prefetch=4,  # tile_base, tile_phi, tile_span, offsets
                 grid=(nty, ntx),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],  # payload in HBM
+                in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]  # payload in HBM
+                + ([bgd_spec] if depth_test else []),
                 out_specs=out_specs,
                 scratch_shapes=[
                     pltpu.SMEM(
@@ -823,13 +859,17 @@ def _build_kernels(
             max_alpha=cfg.max_alpha,
             soft_cutoff=cfg.soft_cutoff,
             packed=packed,
+            row_stride=cfg.row_stride,
+            col_stride=cfg.col_stride,
+            depth_test=depth_test,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            # tile_base, tile_phi, tile_span, used, grad_base, row_offset
+            # tile_base, tile_phi, tile_span, used, grad_base, offsets
             num_scalar_prefetch=6,
             grid=(nty, ntx),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.HBM),  # payload
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]  # payload
+            + ([bgd_spec] if depth_test else [])
+            + [
                 pl.BlockSpec(
                     (1, 1, 4, PACK_SUB, PACK_LANES),
                     lambda i, j, *_: (i, j, 0, 0, 0),
@@ -864,10 +904,10 @@ def _build_kernels(
         out_shape=jax.ShapeDtypeStruct(
             (g_rows, g_pad), jnp.int32 if packed else jnp.float32
         ),
-        # zeros input (index 9 over [6 scalars, payload, d_out, tchk, zeros])
+        # zeros input (over [6 scalars, payload, (bgd), d_out, tchk, zeros])
         # aliases the gradient-space output: one XLA memset pre-zeroes every
         # chunk, so early-terminated chunks are never touched by the kernel.
-        input_output_aliases={9: 0},
+        input_output_aliases={(10 if depth_test else 9): 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
@@ -879,7 +919,7 @@ def composite_pairs_pallas(
     tile_base: jnp.ndarray,
     tile_phi: jnp.ndarray,
     tile_span: jnp.ndarray,
-    row_offset: jnp.ndarray,
+    offsets: jnp.ndarray,
     nty: int,
     ntx: int,
     config: RenderConfig,
@@ -904,7 +944,7 @@ def composite_pairs_pallas(
     fwd_call, _, _ = _build_kernels(
         nty, ntx, pair_payload.shape[1], 0, config, interpret
     )
-    out, _ = fwd_call(tile_base, tile_phi, tile_span, row_offset, pair_payload)
+    out, _ = fwd_call(tile_base, tile_phi, tile_span, offsets, pair_payload)
     return out
 
 
@@ -914,9 +954,9 @@ def _int0(x):
 
 
 def _pad_rows(x):
-    """(C_USED, P) → (C_PAD, P): append the zero rows the kernel DMAs expect
+    """(rows, P) → (C_PAD, P): append the zero rows the kernel DMAs expect
     (8-aligned sublane slices).  Bandwidth-bound, fuses with the gather."""
-    return jnp.pad(x, ((0, C_PAD - C_USED), (0, 0)))
+    return jnp.pad(x, ((0, C_PAD - x.shape[0]), (0, 0)))
 
 
 def _gather_payload(fields, pair_splat, config=None):
@@ -946,9 +986,24 @@ def _gather_payload(fields, pair_splat, config=None):
     return _pad_rows(fields[:, pair_splat])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
+def pack_depth_packed(bg_depth: jnp.ndarray, nty: int, ntx: int) -> jnp.ndarray:
+    """(H, W) scene depth → (nty, ntx, 8, 128) packed-pixel tiles (the
+    kernels' register layout: row = sublane + 8·(lane//32), col = lane%32),
+    padded with +inf so off-image pixels never kill anything."""
+    h, w = bg_depth.shape
+    d = jnp.pad(
+        bg_depth,
+        ((0, nty * TILE - h), (0, ntx * TILE - w)),
+        constant_values=jnp.inf,
+    )
+    x = d.reshape(nty, PACK_LANES // TILE, PACK_SUB, ntx, TILE)
+    return x.transpose(0, 3, 2, 1, 4).reshape(nty, ntx, PACK_SUB, PACK_LANES)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16))
 def composite_splats_pallas(
-    fields: jnp.ndarray,        # (10, N) f32 — payload rows of the field matrix
+    fields: jnp.ndarray,        # (10|11, N) f32 — payload rows (11 rows
+                                # with row 10 = view-z when config.depth_test)
     pair_splat: jnp.ndarray,    # (P_pad,) int32 — tile-sorted pair → column
     tile_base: jnp.ndarray,     # (T,) int32
     tile_phi: jnp.ndarray,      # (T,) int32
@@ -959,9 +1014,11 @@ def composite_splats_pallas(
     exp_counts: jnp.ndarray,    # (N,) int32 — indexed by depth rank
     exp_rank: jnp.ndarray,      # (budget,) int32 — depth rank of exp pair j
                                 # (−1 past the frame's real pair count)
-    row_offset: jnp.ndarray,    # (1,) int32
+    offsets: jnp.ndarray,       # (2,) int32 — global tile (row, col) offset
     order: jnp.ndarray = None,  # (N,) int32 depth permutation, or None if
                                 # ``fields`` is already depth-sorted
+    bg_depth: jnp.ndarray = None,  # (nty, ntx, 8, 128) packed scene depth
+                                # (pack_depth_packed) when config.depth_test
     nty: int = 0,
     ntx: int = 0,
     config: RenderConfig = None,
@@ -989,13 +1046,14 @@ def composite_splats_pallas(
     fwd_call, _, _ = _build_kernels(
         nty, ntx, payload.shape[1], 0, config, interpret
     )
-    out, _ = fwd_call(tile_base, tile_phi, tile_span, row_offset, payload)
+    bg = (bg_depth,) if config.depth_test else ()
+    out, _ = fwd_call(tile_base, tile_phi, tile_span, offsets, payload, *bg)
     return out
 
 
 def _csp_fwd(
     fields, pair_splat, tile_base, tile_phi, tile_span, grad_base,
-    dest_of_exp, exp_offsets, exp_counts, exp_rank, row_offset, order,
+    dest_of_exp, exp_offsets, exp_counts, exp_rank, offsets, order, bg_depth,
     nty, ntx, config, interpret,
 ):
     if config.wireframe:
@@ -1010,13 +1068,14 @@ def _csp_fwd(
     _, fwd_chk_call, _ = _build_kernels(
         nty, ntx, payload.shape[1], g_pad, config, interpret
     )
+    bg = (bg_depth,) if config.depth_test else ()
     out, used, tchk = fwd_chk_call(
-        tile_base, tile_phi, tile_span, row_offset, payload
+        tile_base, tile_phi, tile_span, offsets, payload, *bg
     )
     res = (
         fields, payload, tile_base, tile_phi, tile_span, used, grad_base,
-        dest_of_exp, exp_offsets, exp_counts, exp_rank, row_offset, tchk,
-        pair_splat, order,
+        dest_of_exp, exp_offsets, exp_counts, exp_rank, offsets, tchk,
+        pair_splat, order, bg_depth,
     )
     return out, res
 
@@ -1024,8 +1083,8 @@ def _csp_fwd(
 def _csp_bwd(nty, ntx, config, interpret, res, g):
     (
         fields, payload, tile_base, tile_phi, tile_span, used, grad_base,
-        dest_of_exp, exp_offsets, exp_counts, exp_rank, row_offset, tchk,
-        pair_splat, order,
+        dest_of_exp, exp_offsets, exp_counts, exp_rank, offsets, tchk,
+        pair_splat, order, bg_depth,
     ) = res
     from ..binning import grad_pad_size
 
@@ -1034,9 +1093,10 @@ def _csp_bwd(nty, ntx, config, interpret, res, g):
         nty, ntx, payload.shape[1], g_pad, config, interpret
     )
     g_dt = jnp.int32 if config.payload_dtype == "packed" else jnp.float32
+    bg = (bg_depth,) if config.depth_test else ()
     d_grad_space = bwd_call(
-        tile_base, tile_phi, tile_span, used, grad_base, row_offset,
-        payload, g, tchk, jnp.zeros((_grad_rows(config), g_pad), g_dt),
+        tile_base, tile_phi, tile_span, used, grad_base, offsets,
+        payload, *bg, g, tchk, jnp.zeros((_grad_rows(config), g_pad), g_dt),
     )
     # gradient space → expansion order.  Dropped pairs carry ~j (negative):
     # decode to a spread in-range dummy query (duplicate-query hotspots
@@ -1111,6 +1171,12 @@ def _csp_bwd(nty, ntx, config, interpret, res, g):
         ],
         axis=0,
     )
+    if fields.shape[0] > 10:
+        # depth_test payload carries the view-z row — the z-test is a hard
+        # mask, so no gradient flows to it (matching the other hard masks).
+        d_fields = jnp.concatenate(
+            [d_fields, jnp.zeros((fields.shape[0] - 10, d_fields.shape[1]))]
+        )
     return (
         d_fields,
         _int0(pair_splat),
@@ -1122,8 +1188,9 @@ def _csp_bwd(nty, ntx, config, interpret, res, g):
         _int0(exp_offsets),
         _int0(exp_counts),
         _int0(exp_rank),
-        _int0(row_offset),
+        _int0(offsets),
         None if order is None else _int0(order),
+        None if bg_depth is None else jnp.zeros_like(bg_depth),
     )
 
 

@@ -19,7 +19,11 @@ the compositor payload:
   row 11      valid         1.0 in front of camera, else 0.0 (the w≤0 kill
                             at ``GSplatShaderSource.h:209-214``)
   row 12..13  half_x/half_y quad bbox half-extents in pixels (binning)
-  row 14..15  zero padding
+  row 14      view_z        POSITIVE view-space depth of the center (−z of
+                            the view transform; the planar depth the
+                            reference's GL pipeline z-tests splat fragments
+                            at, src/GSplatRenderer.C:595-610)
+  row 15      zero padding
 
 Everything is written as explicit broadcast arithmetic (no matmul/einsum,
 no (N, 3, 3) intermediates): identical per-splat float ops at any shard
@@ -56,6 +60,7 @@ ROW_OP = 9
 ROW_DEPTH = 10
 ROW_VALID = 11
 ROW_HX, ROW_HY = 12, 13
+ROW_VIEWZ = 14
 
 
 @jax.tree_util.register_dataclass
@@ -349,7 +354,7 @@ def project_splats(
             depth_sq,
             valid.astype(jnp.float32),
             half_x, half_y,
-            zeros, zeros,
+            -vz_, zeros,
         ],
         axis=0,
     )

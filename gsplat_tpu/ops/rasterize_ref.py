@@ -111,9 +111,14 @@ def composite_reference(
     width: int,
     height: int,
     config: RenderConfig = RenderConfig(),
+    bg_depth: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Depth-sort + front-to-back composite.  Returns (H, W, 4) premultiplied
-    RGBA (alpha channel = 1 − final transmittance)."""
+    RGBA (alpha channel = 1 − final transmittance).
+
+    ``bg_depth``: optional (H, W) view-space scene depth — splat
+    contributions behind it are killed per pixel (the reference's z-tested
+    beauty pass, ``src/GSplatRenderer.C:595-610``)."""
     p = sanitize_projected(projected)
     order = jnp.argsort(p.fields[ROW_DEPTH])
     rows = p.fields[:, order].T  # (N, 16) — scan carries per-splat rows
@@ -129,6 +134,8 @@ def composite_reference(
             row[0], row[1], row[2], row[3], row[4], row[5], row[9],
             px, py, config.max_alpha, config.soft_cutoff,
         )
+        if bg_depth is not None:
+            alpha = jnp.where(row[14] <= bg_depth, alpha, 0.0)
         weight = alpha * transmittance
         color_acc = color_acc + weight[..., None] * row[6:9]
         transmittance = transmittance * (1.0 - alpha)
@@ -146,8 +153,11 @@ def render_reference(
     splats: GaussianSplats,
     camera: Camera,
     config: RenderConfig = RenderConfig(),
+    bg_depth: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """End-to-end oracle render: project → sort → composite.  (H, W, 4)."""
     projected = project_splats(splats, camera, config.sh_order, only_sh=config.only_sh)
     projected = quantize_payload(projected, config)
-    return composite_reference(projected, camera.width, camera.height, config)
+    return composite_reference(
+        projected, camera.width, camera.height, config, bg_depth=bg_depth
+    )

@@ -27,18 +27,19 @@ from .projection import N_FIELDS, ROW_DEPTH, ProjectedSplats, project_splats
 from .rasterize_ref import quantize_payload, sanitize_projected
 
 
-def sort_by_depth(p: ProjectedSplats) -> ProjectedSplats:
+def sort_by_depth(p: ProjectedSplats, n_rows: int = 14) -> ProjectedSplats:
     """Global ascending-distance sort (``src/GSplatRenderer.C:176-216``);
     invalid splats (depth=inf after sanitize) go last.  The permutation is
     applied via :func:`permute_cols` so the backward pass is an
-    inverse-permutation gather, not a scatter-add.  Only the 14 live rows
-    are permuted (rows 14-15 are structural zeros, ``ops/projection.py``) —
-    with the 8-row gather split that is one full + one 6-row sublane-group
-    pass instead of two full ones."""
+    inverse-permutation gather, not a scatter-add.  Only the ``n_rows``
+    live rows are permuted (14 by default; 15 keeps the view-z row for
+    depth-tested compositing; the remainder are structural zeros,
+    ``ops/projection.py``) — with the 8-row gather split that is one full +
+    one partial sublane-group pass instead of two full ones."""
     order = jnp.argsort(p.fields[ROW_DEPTH])
-    live = permute_cols(p.fields[:14], order, 10)
+    live = permute_cols(p.fields[:n_rows], order, 10)
     return ProjectedSplats(
-        fields=jnp.pad(live, ((0, N_FIELDS - 14), (0, 0)))
+        fields=jnp.pad(live, ((0, N_FIELDS - n_rows), (0, 0)))
     )
 
 
@@ -87,8 +88,15 @@ def composite_tile_lists(
     height: int,
     config: RenderConfig,
     row_offset=0,
+    col_offset=0,
+    bg_depth_tiles: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Front-to-back composite of dense tile lists.
+
+    ``bg_depth_tiles``: optional (T, TH, TW) view-space scene depth per
+    tile — splat contributions behind it are killed per pixel before
+    blending (the reference's z-tested beauty pass,
+    ``src/GSplatRenderer.C:595-610``).
 
     Args:
       tile_lists: (T, K) int32 depth-rank indices, ``n`` sentinel for empty.
@@ -112,8 +120,14 @@ def composite_tile_lists(
     # screen rows by exact integer arithmetic (strip rendering stays
     # bit-identical to full-frame).
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    origin_x = (tile_ids % ntx * tw).astype(jnp.float32)
-    origin_y = ((tile_ids // ntx + jnp.asarray(row_offset, jnp.int32)) * th).astype(
+    origin_x = (
+        ((tile_ids % ntx) * config.col_stride + jnp.asarray(col_offset, jnp.int32))
+        * tw
+    ).astype(jnp.float32)
+    origin_y = (
+        ((tile_ids // ntx) * config.row_stride + jnp.asarray(row_offset, jnp.int32))
+        * th
+    ).astype(
         jnp.float32
     )
     iota_y = (jnp.arange(th, dtype=jnp.float32) + 0.5)[None, :, None]
@@ -133,6 +147,8 @@ def composite_tile_lists(
         if not config.soft_cutoff:
             inside = (jnp.abs(qx) <= QUAD_EXTENT) & (jnp.abs(qy) <= QUAD_EXTENT)
             alpha = jnp.where(inside & (alpha >= ALPHA_CUTOFF), alpha, 0.0)
+        if bg_depth_tiles is not None:
+            alpha = jnp.where(f[14][:, None, None] <= bg_depth_tiles, alpha, 0.0)
         weight = alpha * transmittance  # (T, TH, TW)
         color = color + weight[:, None] * f[6:9, :].T[:, :, None, None]
         transmittance = transmittance * (1.0 - alpha)
@@ -153,15 +169,30 @@ def composite_tile_lists(
     return image[:, :height, :width].transpose(1, 2, 0)
 
 
+def pack_depth_tiles(bg_depth, nty, ntx, th, tw):
+    """(H, W) scene depth → (T, TH, TW) per-tile blocks, padded with +inf
+    (pixels outside the image never kill anything)."""
+    h, w = bg_depth.shape
+    pad_y, pad_x = nty * th - h, ntx * tw - w
+    d = jnp.pad(bg_depth, ((0, pad_y), (0, pad_x)), constant_values=jnp.inf)
+    return (
+        d.reshape(nty, th, ntx, tw).transpose(0, 2, 1, 3).reshape(-1, th, tw)
+    )
+
+
 def render_tiles(
     splats: GaussianSplats,
     camera: Camera,
     config: RenderConfig = RenderConfig(),
     order: jnp.ndarray = None,
     with_stats: bool = False,
+    bg_depth: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """End-to-end tiled render.  Returns (H, W, 4) premultiplied RGBA — or
     ``(image, RenderStats)`` with ``with_stats=True``.
+
+    ``bg_depth``: optional (H, W) view-space scene depth (depth-tested
+    compositing into a host scene; pair with config.depth_test).
 
     ``order``: optional precomputed depth permutation (see
     :func:`depth_order`) — the amortized-sort path; recomputed when None.
@@ -173,22 +204,29 @@ def render_tiles(
         tight_footprint=not config.soft_cutoff, only_sh=config.only_sh,
     )
     p = quantize_payload(sanitize_projected(projected), config)
+    n_rows = 15 if bg_depth is not None else 14
     if order is None:
-        p = sort_by_depth(p)
+        p = sort_by_depth(p, n_rows=n_rows)
     else:
-        # Same 14-row + pad shape as sort_by_depth (8 + 6 gather split).
+        # Same row + pad shape as sort_by_depth (8 + partial gather split).
         p = ProjectedSplats(
             fields=jnp.pad(
-                permute_cols(p.fields[:14], order, 10),
-                ((0, N_FIELDS - 14), (0, 0)),
+                permute_cols(p.fields[:n_rows], order, 10),
+                ((0, N_FIELDS - n_rows), (0, 0)),
             )
         )
     binned = bin_splats(p, camera.width, camera.height, config)
     warn_if_dropped(binned, config)
     nty, ntx = tile_grid(camera.width, camera.height, config.tile_h, config.tile_w)
     lists = build_tile_lists(binned, nty * ntx, config.tile_capacity, p.count)
+    bgd_t = None
+    if bg_depth is not None:
+        bgd_t = pack_depth_tiles(
+            bg_depth, nty, ntx, config.tile_h, config.tile_w
+        )
     image = composite_tile_lists(
-        lists, p.fields, camera.width, camera.height, config
+        lists, p.fields, camera.width, camera.height, config,
+        bg_depth_tiles=bgd_t,
     )
     if with_stats:
         return image, RenderStats(dropped_pairs=binned.dropped_pairs)

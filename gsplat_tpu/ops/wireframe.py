@@ -122,7 +122,7 @@ def _wireframe_pallas(
         binned.tile_base,
         binned.tile_phi,
         binned.tile_span,
-        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((2,), jnp.int32),
         nty,
         ntx,
         cfg,

@@ -45,6 +45,7 @@ def render_pallas(
     interpret: bool = False,
     order: jnp.ndarray = None,
     with_stats: bool = False,
+    bg_depth: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Fused-kernel render.  Returns (H, W, 4) premultiplied RGBA — or
     ``(image, RenderStats)`` with ``with_stats=True`` (overflow counters as
@@ -67,16 +68,17 @@ def render_pallas(
     # TPU gather throughput is locality-bound, and depth-rank payload queries
     # are nearly sorted within each tile segment while storage-order queries
     # are random.
+    n_rows = 15 if config.depth_test else 14
     if order is None:
-        p = sort_by_depth(p)
+        p = sort_by_depth(p, n_rows=n_rows)
     else:
-        # Mirror sort_by_depth's shape: permute the 14 live rows and pad the
-        # two structural-zero rows — one full + one 6-row sublane-group
+        # Mirror sort_by_depth's shape: permute the live rows and pad the
+        # structural-zero rows — one full + one partial sublane-group
         # gather pass (the measured-winning split) instead of 8+8.
         p = ProjectedSplats(
             fields=jnp.pad(
-                permute_cols(p.fields[:14], order, 10),
-                ((0, N_FIELDS - 14), (0, 0)),
+                permute_cols(p.fields[:n_rows], order, 10),
+                ((0, N_FIELDS - n_rows), (0, 0)),
             )
         )
     binned = bin_splats(
@@ -85,12 +87,22 @@ def render_pallas(
     warn_if_dropped(binned, config)
     nty, ntx = tile_grid(camera.width, camera.height, config.tile_h, config.tile_w)
 
-    # Fused rasterization tail: payload gather (10-row, tile-sorted order —
-    # the binning does no pair re-layout) + compositing kernel, one custom
+    bgd_packed = None
+    if config.depth_test:
+        from .ops.pallas.composite import pack_depth_packed
+
+        bgd_packed = pack_depth_packed(bg_depth, nty, ntx)
+    # Fused rasterization tail: payload gather (tile-sorted order — the
+    # binning does no pair re-layout) + compositing kernel, one custom
     # VJP whose backward reads the kernel's gradient address space and
     # segment-reduces per splat (~10× faster than XLA's scatter-add).
+    if config.depth_test:
+        # payload row 10 = the view-depth row (field row 14)
+        pay_rows = jnp.concatenate([p.fields[:10], p.fields[14:15]], axis=0)
+    else:
+        pay_rows = p.fields[:10]
     packed = composite_splats_pallas(
-        p.fields[:10],
+        pay_rows,
         binned.pair_splat,
         binned.tile_base,
         binned.tile_phi,
@@ -100,8 +112,9 @@ def render_pallas(
         binned.exp_offsets,
         binned.exp_counts,
         binned.exp_rank,
-        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((2,), jnp.int32),
         None,
+        bgd_packed,
         nty,
         ntx,
         config,
@@ -167,10 +180,22 @@ def tune_pair_budget(
     for cam in cameras:
         worst = max(worst, measure_pairs(splats, cam, config))
     budget = -(-int(round(worst * headroom)) // bucket) * bucket
-    full = max(int(round(config.pairs_per_splat * splats.count)), 8)
+    # The measured need wins in BOTH directions: heavy-tailed scenes
+    # routinely exceed the pairs_per_splat default (a trained-statistics
+    # 1M scene measures ~5.5 pairs/splat at 1080p — clamping to the
+    # default's 3·N silently truncated 2.5M pairs before round 5).
     return dataclasses.replace(
-        config, pair_budget_override=max(min(budget, full), bucket)
+        config, pair_budget_override=max(budget, bucket)
     )
+
+
+def composite_over(image: jnp.ndarray, background_rgba: jnp.ndarray) -> jnp.ndarray:
+    """Under-composite a premultiplied splat layer over an opaque-or-not
+    background: ``out = splat + (1 − splat_a)·bg`` — exactly what the
+    reference's front-to-back GL under-blend produces once the scene is the
+    final (farthest) layer (``src/GSplatRenderer.C:615-621``)."""
+    a = image[..., 3:4]
+    return image + (1.0 - a) * background_rgba
 
 
 def render(
@@ -179,6 +204,8 @@ def render(
     config: RenderConfig = RenderConfig(),
     backend: str = "auto",
     with_stats: bool = False,
+    background_rgba: jnp.ndarray = None,
+    background_depth: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Render a splat scene.  Returns (H, W, 4) premultiplied RGBA.
 
@@ -187,21 +214,55 @@ def render(
     hosts can warn on budget truncation even where host callbacks are
     unsupported (axon TPU backend, multi-process runs); pass them to
     :func:`gsplat_tpu.ops.binning.report_stats`.
+
+    Compositing into a host scene (the reference's beauty-pass contract —
+    splats drawn after all opaque geometry, z-tested against the scene's
+    depth buffer but not z-written, ``src/GSplatRenderer.C:595-610``):
+
+    * ``background_depth``: (H, W) view-space scene depth — per pixel,
+      splat contributions behind it are killed before blending (enables
+      ``config.depth_test``; incompatible with the packed payload, which
+      has no view-z row slot);
+    * ``background_rgba``: (H, W, 4) scene color the splat layer is
+      under-composited over (works with or without the depth test).
     """
+    if background_depth is not None and not config.depth_test:
+        import dataclasses as _dc
+
+        config = _dc.replace(config, depth_test=True)
+    if config.depth_test and background_depth is None:
+        raise ValueError("config.depth_test requires background_depth")
     if backend == "auto":
         backend = "pallas" if jax.default_backend() != "cpu" else "tiles"
     if backend == "pallas":
-        return render_pallas(splats, camera, config, with_stats=with_stats)
-    if backend == "pallas_interpret":
-        return render_pallas(
-            splats, camera, config, interpret=True, with_stats=with_stats
+        out = render_pallas(
+            splats, camera, config, with_stats=with_stats,
+            bg_depth=background_depth,
         )
-    if backend == "tiles":
-        return render_tiles(splats, camera, config, with_stats=with_stats)
-    if backend == "reference":
-        image = render_reference(splats, camera, config)
+    elif backend == "pallas_interpret":
+        out = render_pallas(
+            splats, camera, config, interpret=True, with_stats=with_stats,
+            bg_depth=background_depth,
+        )
+    elif backend == "tiles":
+        out = render_tiles(
+            splats, camera, config, with_stats=with_stats,
+            bg_depth=background_depth,
+        )
+    elif backend == "reference":
+        image = render_reference(
+            splats, camera, config, bg_depth=background_depth
+        )
         if with_stats:
             # the O(N·H·W) oracle composites every splat — nothing can drop
-            return image, RenderStats(dropped_pairs=jnp.int32(0))
-        return image
-    raise ValueError(f"unknown backend {backend!r}")
+            out = (image, RenderStats(dropped_pairs=jnp.int32(0)))
+        else:
+            out = image
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+    if background_rgba is not None:
+        if with_stats:
+            out = (composite_over(out[0], background_rgba), out[1])
+        else:
+            out = composite_over(out, background_rgba)
+    return out

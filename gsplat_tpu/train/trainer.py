@@ -130,6 +130,14 @@ def make_sharded_train_step(
     sp = mesh.shape[SPLAT_AXIS]
     h_pad = pad_to_multiple(camera.height, sp * config.tile_h)
     strip_h = h_pad // sp
+    # The trainer keeps CONTIGUOUS strips regardless of
+    # config.row_assignment: the SSIM term reads 5 neighbour pixel rows at
+    # each strip boundary via a ppermute halo (loss.ssim_strip), which
+    # requires spatially coherent strips.  The renderer's cyclic balancing
+    # does not apply to the loss anyway (every strip's loss term is summed).
+    import dataclasses as _dc
+
+    config = _dc.replace(config, row_assignment="contiguous", row_stride=1, col_stride=1)
 
     def local_step(params_l, opt_state_l, views_l, projs_l, targets_l):
         b_local = views_l.shape[0]

@@ -143,6 +143,40 @@ class RenderConfig:
     # factor ≈ max-strip-share + footprint overlap (≈ 2-3/d for d strips).
     strip_exchange_factor: float = 0.0
 
+    # Sharded-render tile-row assignment.  "cyclic" (default): device i of
+    # d owns global tile rows {i, i+d, i+2d, ...} — interleaving averages
+    # center-heavy splat distributions over devices, keeping every device's
+    # pair share within a few percent of the mean (the contiguous-strip
+    # decomposition measured 0.455 pair-parallel efficiency at 32 devices
+    # on centered scenes — scripts/scaling_model.py).  "contiguous": device
+    # i owns one horizontal strip — required by (and automatically forced
+    # for) the strip-compacted exchange (strip_exchange_factor > 0) and the
+    # sharded trainer's SSIM halo, both of which need spatially coherent
+    # strips.  Single-device renders ignore it.
+    row_assignment: str = "cyclic"
+
+    # INTERNAL (set by the sharded renderer, not by users): global tile row
+    # of local tile row ℓ is ``row_offset + ℓ·row_stride`` (and likewise
+    # columns with ``col_offset + ℓ·col_stride``).  1 = contiguous strip /
+    # full frame; the cyclic renderer factors d devices into a
+    # (row_stride × col_stride) interleave grid.  Rides in the config so
+    # binning, both compositing backends, and the Pallas kernels see one
+    # consistent mapping (it keys their jit/kernel caches).
+    row_stride: int = 1
+    col_stride: int = 1
+
+    # Depth-test compositing INTO a host scene (the reference's beauty-pass
+    # contract: splats drawn after all opaque geometry, z-TESTED against the
+    # scene's depth buffer but not z-written —
+    # gsplat_plugin/src/GSplatRenderer.C:595-610).  Enabled internally by
+    # ``render(..., background_depth=...)``: per pixel, splat contributions
+    # whose center's view-space depth exceeds the scene depth are killed
+    # before blending, and the result composes over the scene color with
+    # the under operator.  Needs the per-splat view-z payload row, which
+    # the 8-row packed payload has no slot for — use payload_dtype
+    # "float32"/"bfloat16" with depth_test (validated below).
+    depth_test: bool = False
+
     # Exact pair budget override (0 = derive from pairs_per_splat·N).  Set
     # by ``tune_pair_budget`` after measuring the scene's real (tile, splat)
     # pair count: every binning/gather/sort/VJP pass scales with the static
@@ -173,6 +207,19 @@ class RenderConfig:
             # (== PACK_SUB, the store-alignment unit); a non-multiple chunk
             # would silently skip the trailing chunk % 8 pairs per chunk.
             raise ValueError("chunk must be a multiple of 8")
+        if self.row_assignment not in ("cyclic", "contiguous"):
+            raise ValueError(
+                f"row_assignment must be 'cyclic' or 'contiguous', got "
+                f"{self.row_assignment!r}"
+            )
+        if self.row_stride < 1 or self.col_stride < 1:
+            raise ValueError("row/col_stride must be >= 1")
+        if self.depth_test and self.payload_dtype == "packed":
+            raise ValueError(
+                "depth_test needs the view-z payload row; the 8-row packed "
+                "payload has no slot for it — use payload_dtype='float32' "
+                "or 'bfloat16'"
+            )
         if self.payload_dtype == "packed" and self.chunk % 128 != 0:
             # int32 payload DMA slices must be 128-lane aligned (Mosaic
             # rejects chunk=64 at compile time with the packed layout).

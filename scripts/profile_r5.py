@@ -162,7 +162,7 @@ timeit("payload gather (10-row x P)",
 fwd_call, fwd_chk_call, bwd_call = _build_kernels(
     nty, ntx, payload.shape[1], g_pad, cfg, False
 )
-zero_row = jnp.zeros((1,), jnp.int32)
+zero_row = jnp.zeros((2,), jnp.int32)
 timeit("fwd kernel", lambda pay: fwd_call(
     binned.tile_base, binned.tile_phi, binned.tile_span, zero_row, pay)[0],
     payload)

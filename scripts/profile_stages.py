@@ -67,7 +67,7 @@ nty, ntx = tile_grid(W, H, cfg.tile_h, cfg.tile_w)
 
 def comp(pay, b):
     packed = composite_pairs_pallas(
-        pay, b.tile_base, b.tile_phi, b.tile_span, jnp.zeros((1,), jnp.int32),
+        pay, b.tile_base, b.tile_phi, b.tile_span, jnp.zeros((2,), jnp.int32),
         nty, ntx, cfg, False
     )
     return unpack_image(packed, H, W)
@@ -94,7 +94,7 @@ def csp(f_, b):
     packed = composite_splats_pallas(
         f_, b.pair_splat, b.tile_base, b.tile_phi, b.tile_span, b.grad_base,
         b.dest_of_exp, b.exp_offsets, b.exp_counts, b.exp_rank,
-        jnp.zeros((1,), jnp.int32), None, nty, ntx, cfg, False
+        jnp.zeros((2,), jnp.int32), None, None, nty, ntx, cfg, False
     )
     return unpack_image(packed, H, W)
 

@@ -1,4 +1,4 @@
-"""SCALING_r04: exact distribution model + virtual-mesh wall-clock floor.
+"""SCALING_r05: exact distribution model + virtual-mesh wall-clock floor.
 
 Only one real TPU chip exists in this container, so multi-chip efficiency
 cannot be *measured* — but the quantities that determine it CAN be computed
@@ -63,7 +63,11 @@ def model_for(splats, cam, d, cfg):
     h_pad = pad_to_multiple(cam.height, d * cfg.tile_h)
     strip_h = h_pad // d
 
-    # exact per-strip pair counts (the sharded kernels' work)
+    # exact per-strip pair counts (the sharded kernels' work), under BOTH
+    # row assignments: cyclic (the default — device i owns global tile rows
+    # {i, i+d, ...}) and contiguous (required by the strip exchange)
+    import dataclasses as _dc
+
     p = quantize_payload(
         sanitize_projected(
             project_splats(splats, cam, cfg.sh_order, tight_footprint=True)
@@ -73,6 +77,11 @@ def model_for(splats, cam, d, cfg):
     strip_pairs = [
         int(count_pairs(p, cam.width, strip_h, cfg,
                         row_offset=s * (strip_h // cfg.tile_h)))
+        for s in range(d)
+    ]
+    cfg_cyc = _dc.replace(cfg, row_stride=d)
+    cyclic_pairs = [
+        int(count_pairs(p, cam.width, strip_h, cfg_cyc, row_offset=s))
         for s in range(d)
     ]
     total_pairs = int(count_pairs(p, cam.width, cam.height, cfg))
@@ -92,10 +101,20 @@ def model_for(splats, cam, d, cfg):
         "per_device_projected_splats": n_local,
         "strip_h_px": strip_h,
         "total_pairs": total_pairs,
-        "per_device_pairs_max": max(strip_pairs),
-        "per_device_pairs_mean": sum(strip_pairs) / d,
-        "pair_parallel_efficiency": total_pairs / (d * max(strip_pairs))
-        if max(strip_pairs) else 1.0,
+        "cyclic": {
+            "per_device_pairs_max": max(cyclic_pairs),
+            "per_device_pairs_mean": sum(cyclic_pairs) / d,
+            "worst_over_mean": d * max(cyclic_pairs) / max(sum(cyclic_pairs), 1),
+            "pair_parallel_efficiency": total_pairs / (d * max(cyclic_pairs))
+            if max(cyclic_pairs) else 1.0,
+        },
+        "contiguous": {
+            "per_device_pairs_max": max(strip_pairs),
+            "per_device_pairs_mean": sum(strip_pairs) / d,
+            "worst_over_mean": d * max(strip_pairs) / max(sum(strip_pairs), 1),
+            "pair_parallel_efficiency": total_pairs / (d * max(strip_pairs))
+            if max(strip_pairs) else 1.0,
+        },
         "all_gather": {
             "wire_bytes_per_device_fp32": wire(n_local, FP32_COL_BYTES),
             "wire_bytes_per_device_bf16": wire(n_local, BF16_COL_BYTES),
@@ -172,7 +191,7 @@ def wallclock_floor(iters=4):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="SCALING_r04.json")
+    ap.add_argument("--out", default="SCALING_r05.json")
     args = ap.parse_args()
 
     import gsplat_tpu as gt
@@ -188,7 +207,11 @@ def main():
                 "bench scene+camera; the >=70% multi-host efficiency target "
                 "needs the per-device pair share (pair_parallel_efficiency) "
                 "and the collective bytes to stay small vs per-device "
-                "compute — both reported here per device count.",
+                "compute — both reported here per device count.  'cyclic' "
+                "is the renderer's default row assignment (round 5): "
+                "interleaved tile rows average center-heavy distributions "
+                "over devices; 'contiguous' is kept for the strip-compacted "
+                "exchange (which needs coherent strips) and for comparison.",
     }
     for n_splats in (1_000_000, 8_388_608):
         splats = gt.random_splats(

@@ -102,3 +102,42 @@ def test_ply_fit_psnr(tmp_path):
     assert np.isfinite(end)
     assert end > start + 3.0, f"fit did not improve: {start:.2f} -> {end:.2f} dB"
     assert end > 26.0, f"fit PSNR too low: {end:.2f} dB (start {start:.2f})"
+
+
+def test_fit_smoke_default_on():
+    """Default-on training-correctness gate (<60 s): a tiny perturb-and-
+    recover fit on a heavy-tailed scene must improve PSNR substantially.
+    Catches gradients that stay finite-and-plausible but WRONG — the
+    failure class the loss-decrease checks in TestFit can miss — on every
+    suite run (the full 120-step multi-view PSNR fit above stays opt-in)."""
+    scene = heavy_tailed_scene(n=160, seed=3)
+    cfg = gt.RenderConfig()
+    cam = gt.make_camera([0.3, 0.4, 2.4], [0, 0, 0], 64, 64)
+    img = gt.render_tiles(scene, cam, cfg)
+    target = img[..., :3] + (1.0 - img[..., 3:4])
+
+    n = scene.count
+    perturbed = dataclasses.replace(
+        scene,
+        pos=scene.pos + 0.02 * jax.random.normal(jax.random.PRNGKey(5), (3, n)),
+        color=jnp.clip(
+            scene.color + 0.12 * jax.random.normal(jax.random.PRNGKey(6), (3, n)),
+            0.0, 1.0,
+        ),
+    )
+    params = params_from_splats(perturbed)
+    opt = default_optimizer(lr_pos=2e-3)
+    opt_state = opt.init(params)
+    step = make_train_step(opt, cam, cfg, backend="tiles", lambda_dssim=0.2)
+
+    def cur_psnr(p):
+        im = gt.render_tiles(splats_from_params(p), cam, cfg)
+        return float(psnr(im[..., :3] + (1.0 - im[..., 3:4]), target))
+
+    start = cur_psnr(params)
+    for _ in range(22):
+        params, opt_state, loss = step(params, opt_state, target)
+    end = cur_psnr(params)
+    assert np.isfinite(end)
+    assert end > start + 2.0, f"fit did not improve: {start:.2f} -> {end:.2f} dB"
+    assert end > 24.0, f"fit PSNR too low: {end:.2f} dB (start {start:.2f})"
