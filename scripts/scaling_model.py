@@ -79,10 +79,18 @@ def model_for(splats, cam, d, cfg):
                         row_offset=s * (strip_h // cfg.tile_h)))
         for s in range(d)
     ]
-    cfg_cyc = _dc.replace(cfg, row_stride=d)
+    from gsplat_tpu.ops.binning import tile_grid
+    from gsplat_tpu.parallel.render_sharded import _factor_grid
+
+    nty_f, ntx_f = tile_grid(cam.width, cam.height, cfg.tile_h, cfg.tile_w)
+    dy, dx = _factor_grid(d, nty_f, ntx_f)
+    h_pad_c = pad_to_multiple(cam.height, dy * cfg.tile_h)
+    w_pad_c = pad_to_multiple(cam.width, dx * cfg.tile_w)
+    cfg_cyc = _dc.replace(cfg, row_stride=dy, col_stride=dx)
     cyclic_pairs = [
-        int(count_pairs(p, cam.width, strip_h, cfg_cyc, row_offset=s))
-        for s in range(d)
+        int(count_pairs(p, w_pad_c // dx, h_pad_c // dy, cfg_cyc,
+                        row_offset=di // dx, col_offset=di % dx))
+        for di in range(d)
     ]
     total_pairs = int(count_pairs(p, cam.width, cam.height, cfg))
 
@@ -102,6 +110,7 @@ def model_for(splats, cam, d, cfg):
         "strip_h_px": strip_h,
         "total_pairs": total_pairs,
         "cyclic": {
+            "grid_dy_dx": [dy, dx],
             "per_device_pairs_max": max(cyclic_pairs),
             "per_device_pairs_mean": sum(cyclic_pairs) / d,
             "worst_over_mean": d * max(cyclic_pairs) / max(sum(cyclic_pairs), 1),
