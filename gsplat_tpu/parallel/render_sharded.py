@@ -479,7 +479,11 @@ def render_sharded(
     fn = jax.shard_map(
         local_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
     )
+    @jax.jit
     def assemble(image):
+        # jitted: the de-interleave reshapes a GLOBAL array, which eager
+        # mode cannot do across processes (non-addressable shards); under
+        # jit it is one resharding collective.
         if cyclic:
             # Device-major stacked cells → true screen order: global tile
             # (jy·dy + a, jx·dx + b) comes from device a·dx + b's local

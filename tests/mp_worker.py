@@ -63,11 +63,11 @@ def main():
         gt.render(pad_splats(splats, n_global), cam, cfg, backend="tiles")
     )
 
-    # Compare only the locally-addressable row shards.
+    # Compare only the locally-addressable shards (generic index tuple —
+    # the cyclic de-interleave's output sharding is XLA's choice).
     for shard in img_multi.addressable_shards:
-        rows = shard.index[0]
         local = np.asarray(shard.data)
-        want = img_single[rows]
+        want = img_single[shard.index]
         if not np.array_equal(local, want):
             diff = float(np.abs(local - want).max())
             print(f"PROC{process_id} FAIL maxdiff={diff}", flush=True)
