@@ -39,6 +39,7 @@ splats; the dropped count is reported so callers can warn.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Tuple
 
 import jax
@@ -121,6 +122,17 @@ _log = get_logger("binning")
 # (tests/test_config_features.py).  Never disable it in production — it only
 # removes exact-zero pairs.
 _SAT_CULL_ENABLED = True
+
+# SAT operands ride the expansion gather as 6 extra bitcast rows.  At small
+# N the TPU gather unit fetches sublane groups of 8, so the extra rows are
+# free — but beyond a few million columns the unit becomes ELEMENT-
+# sequential AND duplicate-heavy queries serialize hard (measured round 5
+# at the 2^23 envelope: the 8-row duplicate-sorted gather runs 537 ms vs
+# 128 ms for 2 rows — scripts/profile_dma_gather.py follow-up).  Past this
+# threshold the cull is skipped: it only removes ~8% exact-zero pairs,
+# which the kernels' early termination makes nearly free, while the 6 rows
+# cost ~400 ms/frame.  The cull is exact either way.
+_SAT_CULL_MAX_N = int(os.environ.get("GSPLAT_SAT_MAX_N", 4_194_304))
 
 
 def _warn_dropped_cb(dropped) -> None:
@@ -393,7 +405,10 @@ def bin_splats(
     # Skipped in wireframe mode (the band extends past the quad) and soft
     # mode (no inside mask).
     sat_cull = (
-        _SAT_CULL_ENABLED and (not config.soft_cutoff) and (not config.wireframe)
+        _SAT_CULL_ENABLED
+        and (not config.soft_cutoff)
+        and (not config.wireframe)
+        and n <= _SAT_CULL_MAX_N
     )
     bits_tile = max(num_tiles.bit_length(), 1)
     # Opacity-aware SAT threshold: the kernel also discards α < 1/255, so a

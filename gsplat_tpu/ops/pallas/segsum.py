@@ -47,9 +47,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 ROW_RANK = 1  # aux payload row carrying the per-pair depth rank (f32; −1 =
               # dropped/padding, which never matches any block's one-hot)
-BLK = 512    # ranks per grid program (large: the per-grid-step overhead
+import os
+
+BLK = int(os.environ.get("GSPLAT_SEGSUM_BLK", "512"))
+             # ranks per grid program (large: the per-grid-step overhead
              # dominates at small blocks — 7.8k programs at BLK=128 cost
-             # ~8 ms of pure sequencing at 1M splats)
+             # ~8 ms of pure sequencing at 1M splats; env knob for on-chip
+             # sweeps)
 CHK = 256    # pairs per DMA chunk
 
 
